@@ -1,0 +1,96 @@
+"""Native C++ codec: bit-equality vs the golden codec and multithreaded
+determinism (reference strategy: cross-backend identical streams,
+codec_profile_test.inl:952-1043)."""
+
+import numpy as np
+import pytest
+
+from ndzip_tpu import format as fmt
+from ndzip_tpu import golden, native
+
+if not native.available():
+    pytest.skip("native codec unavailable", allow_module_level=True)
+
+RNG = np.random.default_rng(99)
+
+SHAPES = [
+    ((4096,), np.float32),
+    ((2**18 + 37,), np.float32),
+    ((100,), np.float32),
+    ((70, 65), np.float32),
+    ((256, 256), np.float32),
+    ((17, 16, 20), np.float32),
+    ((48, 32, 33), np.float32),
+    ((4097,), np.float64),
+    ((65, 64), np.float64),
+    ((33, 32, 48), np.float64),
+]
+
+
+def make_data(shape, dtype):
+    data = RNG.standard_normal(shape).astype(dtype)
+    flat = data.reshape(-1)
+    if flat.size > 300:
+        flat[:70] = 0
+        flat[200:300] = flat[199]
+    return data
+
+
+@pytest.mark.parametrize("shape,dtype", SHAPES)
+def test_native_stream_matches_golden(shape, dtype):
+    data = make_data(shape, dtype)
+    g_stream, g_len = golden.compress(data)
+    n_stream, n_len = native.compress(data)
+    assert n_len == g_len
+    assert n_stream.tobytes() == g_stream.tobytes()
+
+
+@pytest.mark.parametrize("shape,dtype", SHAPES)
+def test_native_roundtrip(shape, dtype):
+    data = make_data(shape, dtype)
+    stream, _ = native.compress(data)
+    out = native.decompress(stream, shape, dtype)
+    assert np.array_equal(
+        out.view(np.uint64 if dtype == np.float64 else np.uint32),
+        data.view(np.uint64 if dtype == np.float64 else np.uint32))
+
+
+def test_native_decodes_golden_and_vice_versa():
+    data = make_data((70, 130), np.float32)
+    g_stream, _ = golden.compress(data)
+    out = native.decompress(g_stream, data.shape, np.float32)
+    assert np.array_equal(out, data)
+    n_stream, _ = native.compress(data)
+    out2 = golden.decompress(n_stream, data.shape, np.float32)
+    assert np.array_equal(out2, data)
+
+
+@pytest.mark.parametrize("threads", [2, 4, 8])
+def test_native_multithreaded_bit_identical(threads):
+    # openmp-compressor analog: stream must equal the serial stream
+    # (cpu_codec.inl:714-743 ordering invariant)
+    data = RNG.standard_normal(2**20 + 133).astype(np.float32)
+    serial, slen = native.compress(data, threads=1)
+    mt, mlen = native.compress(data, threads=threads)
+    assert mlen == slen
+    assert mt.tobytes() == serial.tobytes()
+    out = native.decompress(mt, data.shape, np.float32, threads=threads)
+    assert np.array_equal(out, data)
+
+
+def test_native_zero_hypercube_shapes():
+    for shape in [(1,), (63, 63), (4095,)]:
+        data = RNG.standard_normal(shape).astype(np.float32)
+        stream, n = native.compress(data)
+        out = native.decompress(stream, shape, np.float32)
+        assert np.array_equal(out, data)
+
+
+def test_native_bound_matches_format():
+    for shape, wb in [((4097,), 32), ((70, 65), 64), ((17, 18, 19), 32)]:
+        import ctypes
+
+        lib = native._load()
+        arr = (ctypes.c_uint64 * len(shape))(*shape)
+        assert lib.ndzip_compressed_bound_words(wb, len(shape), arr) == \
+            fmt.compressed_bound_words(shape, wb)
