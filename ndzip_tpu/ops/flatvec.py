@@ -1,0 +1,199 @@
+"""Flat-vector primitives for Pallas TPU kernels.
+
+All arrays are laid out as (..., R, 128): a logically-flat word vector of
+R*128 elements in row-major order living on (sublane, lane) tiles.  Every
+primitive below is built purely from rolls, iota masks and selects — the ops
+the VPU executes natively — so kernels never need gathers or scatters for
+the ndzip codec's shift/scan/compaction structure.
+
+These helpers also run under numpy semantics outside Pallas (pltpu.roll is
+replaced by jnp.roll when not tracing a kernel), which lets unit tests
+validate them in interpret mode.
+
+Key algorithms:
+  * shift_flat_left/right: shift the flat vector by a power-of-two amount
+    (lane roll + row carry for k < 128, pure sublane roll otherwise).
+  * flat_cumsum: inclusive prefix sum over the flat order (lane log-scan +
+    row-total scan) — the in-kernel replacement for the reference's
+    hierarchical_inclusive_scan (cuda_bits.cuh:266-333).
+  * segmented ops: cumsum/diff along a strided sub-axis of the flat order,
+    which implements the multidimensional Lorenzo transform on a flat
+    (rows, 128) layout for every dimensionality.
+  * compact_flat / expand_flat: monotone butterfly routing networks that
+    perform masked stream compaction and its inverse entirely with vector
+    selects (replaces warp-ballot compaction, cuda_codec.inl:185-275).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _row_col(shape):
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return rows, cols
+
+
+def _roll(x, shift, axis):
+    return pltpu.roll(x, shift=shift, axis=axis)
+
+
+def shift_flat_left(x, k, fill=None):
+    """y[..., i] = x[..., i+k] in flat row-major order; `fill` at the end.
+    k must be a power of two (or multiple of 128)."""
+    if fill is None:
+        fill = jnp.zeros((), x.dtype)
+    R = x.shape[-2]
+    rows, cols = _row_col(x.shape)
+    if k % LANES == 0:
+        r = k // LANES
+        if r >= R:
+            return jnp.full_like(x, fill)
+        y = _roll(x, R - r, len(x.shape) - 2)
+        return jnp.where(rows < R - r, y, fill)
+    assert k < LANES
+    a = _roll(x, LANES - k, len(x.shape) - 1)
+    up = _roll(x, R - 1, len(x.shape) - 2)
+    up = jnp.where(rows < R - 1, up, fill)
+    b = _roll(up, LANES - k, len(x.shape) - 1)
+    y = jnp.where(cols < LANES - k, a, b)
+    # final lane positions beyond the very end
+    flat = rows * LANES + cols
+    return jnp.where(flat < R * LANES - k, y, fill)
+
+
+def shift_flat_right(x, k, fill=None):
+    """y[..., i] = x[..., i-k]; `fill` at the start.  k power of two."""
+    if fill is None:
+        fill = jnp.zeros((), x.dtype)
+    R = x.shape[-2]
+    rows, cols = _row_col(x.shape)
+    if k % LANES == 0:
+        r = k // LANES
+        if r >= R:
+            return jnp.full_like(x, fill)
+        y = _roll(x, r, len(x.shape) - 2)
+        return jnp.where(rows >= r, y, fill)
+    assert k < LANES
+    a = _roll(x, k, len(x.shape) - 1)
+    down = _roll(x, 1, len(x.shape) - 2)
+    down = jnp.where(rows >= 1, down, fill)
+    b = _roll(down, k, len(x.shape) - 1)
+    y = jnp.where(cols >= k, a, b)
+    flat = rows * LANES + cols
+    return jnp.where(flat >= k, y, fill)
+
+
+def lane_cumsum(x):
+    """Inclusive cumsum along the lane axis (last)."""
+    _, cols = _row_col(x.shape)
+    k = 1
+    while k < LANES:
+        x = jnp.where(cols >= k, x + _roll(x, k, len(x.shape) - 1), x)
+        k <<= 1
+    return x
+
+
+def flat_cumsum(x):
+    """Inclusive cumsum over the flat (R*128) order."""
+    R = x.shape[-2]
+    rows, _ = _row_col(x.shape)
+    lx = lane_cumsum(x)
+    tot = lx[..., :, LANES - 1 : LANES]  # (..., R, 1) row totals
+    # inclusive scan of row totals along sublanes, then shift to exclusive
+    inc = tot
+    k = 1
+    while k < R:
+        trow = jax.lax.broadcasted_iota(jnp.int32, inc.shape, len(inc.shape) - 2)
+        rolled = _roll(inc, k, len(inc.shape) - 2)
+        inc = jnp.where(trow >= k, inc + rolled, inc)
+        k <<= 1
+    excl = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, inc.shape, len(inc.shape) - 2) >= 1,
+        _roll(inc, 1, len(inc.shape) - 2), 0)
+    return lx + excl
+
+
+def segmented_cumsum_flat(x, stride: int, seg: int):
+    """Inclusive prefix sum along the strided sub-axis of the flat order:
+    element i accumulates elements i - k*stride for k = 1.. while staying in
+    the same segment of `seg` flat elements and the same residue class
+    mod `stride`.  stride, seg are powers of two.  This implements a cumsum
+    along one axis of a multidimensional block stored flat."""
+    R = x.shape[-2]
+    rows, cols = _row_col(x.shape)
+    flat = rows * LANES + cols
+    n = seg // stride  # elements along the axis
+    k = 1
+    while k < n:
+        shifted = shift_flat_right(x, k * stride)
+        ok = (flat & (seg - 1)) // stride >= k
+        x = jnp.where(ok, x + shifted, x)
+        k <<= 1
+    return x
+
+
+def segmented_diff_flat(x, stride: int, seg: int):
+    """First-order difference along the strided sub-axis: x[i] -= x[i-stride]
+    except at the first position of each segment axis slot."""
+    R = x.shape[-2]
+    rows, cols = _row_col(x.shape)
+    flat = rows * LANES + cols
+    shifted = shift_flat_right(x, stride)
+    first = (flat & (seg - 1)) // stride == 0
+    return jnp.where(first, x, x - shifted)
+
+
+def compact_flat(values, s):
+    """Monotone left-compaction butterfly.
+
+    `s` is the per-slot remaining left-shift: for live slots the distance to
+    the destination (i - dest, non-decreasing over live slots), and -1 for
+    dead slots.  Processes bits LSB->MSB; each round moves live elements
+    whose shift has that bit set, and marks vacated slots dead.  Live-live
+    collisions are impossible for monotone routing (see proof in repo notes:
+    at round k all live shifts are ≡ 0 (mod k), so a collision would force
+    two equal destinations).
+
+    Returns (values, s) with compacted data at the front (s == 0 there).
+    `values` may be a tuple of arrays moved together.
+    """
+    single = not isinstance(values, tuple)
+    vals = (values,) if single else values
+    n = s.shape[-2] * LANES
+    neg1 = jnp.full((), -1, s.dtype)
+    k = 1
+    while k < n:
+        ss = shift_flat_left(s, k, fill=neg1)
+        incoming = (ss >= 0) & ((ss & k) != 0)
+        move = (s >= 0) & ((s & k) != 0)
+        vals = tuple(jnp.where(incoming, shift_flat_left(v, k), v) for v in vals)
+        s = jnp.where(incoming, ss - k, jnp.where(move, neg1, s))
+        k <<= 1
+    return (vals[0] if single else vals), s
+
+
+def expand_flat(values, s):
+    """Inverse of compact_flat: gather-only butterfly.  `s[i]` is how far to
+    the LEFT the source of destination i currently sits (i - src, with
+    src = csum(valid)-1; must be non-negative and non-decreasing).  Invalid
+    destinations should be masked by the caller afterwards."""
+    single = not isinstance(values, tuple)
+    vals = (values,) if single else values
+    n = s.shape[-2] * LANES
+    k = 1
+    top = 1
+    while top < n:
+        top <<= 1
+    k = top >> 1
+    while k >= 1:
+        take = (s & k) != 0
+        vals = tuple(jnp.where(take, shift_flat_right(v, k), v) for v in vals)
+        s = jnp.where(take, s - k, s)
+        k >>= 1
+    return vals[0] if single else vals

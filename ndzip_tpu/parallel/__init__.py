@@ -1,0 +1,5 @@
+from .sharded import (  # noqa: F401
+    make_mesh,
+    compress_sharded,
+    decompress_sharded,
+)

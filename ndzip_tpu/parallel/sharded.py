@@ -1,0 +1,328 @@
+"""Multi-chip block-parallel encode/decode over a jax.sharding.Mesh.
+
+The reference is single-device (SURVEY.md §2.12); this layer is the
+TPU-native distributed design it lacks:
+
+* Hypercube blocks are independent, so the block-grid's major axis is
+  sharded across devices (``shard_map`` over a 1D mesh).  Shards own
+  contiguous block ranges, so the canonical stream order is preserved.
+* Each shard encodes its blocks locally (same kernels as single-chip) and
+  returns (header entries, padded body, body length).
+* Per-shard body lengths are all-gathered (one tiny ICI collective — the
+  distributed analog of the reference's device-wide offset scan,
+  cuda_bits.cuh:266-333); an exclusive scan gives each shard's global body
+  offset; header entries are rebased by that offset.
+* Assembly into ONE bit-exact stream happens with per-shard
+  dynamic_update_slices at the scanned offsets (device-side), or shard by
+  shard on the host for file output.
+
+Borders are global-array property and tiny; they are gathered outside the
+shard_map.  The resulting stream is byte-identical to the single-chip /
+reference CPU stream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import format as fmt
+from ..ops import u64pair
+
+AXIS = "blocks"
+
+
+def make_mesh(devices=None, axis_name: str = AXIS) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _shard_grid(shape, n_shards):
+    """Split the block-grid's major axis into n_shards contiguous ranges.
+    Requires grid[0] % n_shards == 0 (callers pad or pick mesh sizes
+    accordingly).  Returns blocks per shard."""
+    grid = fmt.grid_shape(shape)
+    if not grid or grid[0] % n_shards != 0:
+        raise ValueError(
+            f"block grid {grid} major axis not divisible by {n_shards} shards")
+    per_shard = fmt.num_hypercubes(shape) // n_shards
+    return per_shard
+
+
+def _local_encode_parts(words_local, local_shape, dims, wb):
+    """Encode one shard's blocks; returns (entries u32 (local_hc,),
+    body_padded u32, body_len i32).  Body contains only hypercube bodies
+    (no header, no border)."""
+    from .. import codec_xla
+
+    local_hc = fmt.num_hypercubes(local_shape)
+    if wb == 32:
+        blocks = codec_xla._gather_blocks(words_local, local_shape)
+        dense, valid, lengths = _encode_blocks_xla32(blocks, dims)
+    else:
+        lo, hi = words_local
+        b_lo = codec_xla._gather_blocks(lo, local_shape)
+        b_hi = codec_xla._gather_blocks(hi, local_shape)
+        dense, valid, lengths = _encode_blocks_xla64(b_lo, b_hi, dims)
+    offsets_after = jnp.cumsum(lengths, dtype=jnp.int32)
+    body_len = offsets_after[-1]
+
+    bound = local_hc * fmt.Profile(wb, dims).compressed_block_length_bound
+    bound_u32 = bound * (wb // 32)
+    flat = dense.reshape(-1)
+    fvalid = valid.reshape(-1)
+    dest = jnp.cumsum(fvalid.astype(jnp.int32)) - 1
+    if wb == 64:
+        dest = 2 * jnp.repeat(dest, 2) + jnp.tile(
+            jnp.arange(2, dtype=jnp.int32), dest.shape[0])
+        fvalid = jnp.repeat(fvalid, 2)
+        flat = dense  # already interleaved by caller
+    dest = jnp.where(fvalid, dest, bound_u32)
+    body = jnp.zeros(bound_u32, jnp.uint32).at[dest].set(
+        flat, mode="drop", unique_indices=True)
+    return offsets_after.astype(jnp.uint32), body, body_len * (wb // 32)
+
+
+def _encode_blocks_xla32(blocks, dims):
+    from .. import codec_xla
+    from ..ops import bitops
+
+    nb = blocks.shape[0]
+    t = codec_xla.block_transform_u32(blocks, dims)
+    chunks = t.reshape(nb, fmt.HC_SIZE // 32, 32)
+    heads = jax.lax.reduce(chunks, jnp.uint32(0), jax.lax.bitwise_or, (2,))
+    transposed = bitops.transpose_bits(chunks, jnp)
+    body = transposed.reshape(nb, fmt.HC_SIZE)
+    dense = jnp.concatenate([heads, body], axis=1)
+    valid = jnp.concatenate([jnp.ones(heads.shape, bool), body != 0], axis=1)
+    lengths = valid.sum(axis=1, dtype=jnp.int32)
+    return dense, valid, lengths
+
+
+def _encode_blocks_xla64(b_lo, b_hi, dims):
+    from .. import codec_xla
+    from ..ops import bitops
+
+    nb = b_lo.shape[0]
+    heads_n = fmt.HC_SIZE // 64
+    t_lo, t_hi = codec_xla.block_transform_pair(b_lo, b_hi, dims)
+    c_lo = t_lo.reshape(nb, heads_n, 64)
+    c_hi = t_hi.reshape(nb, heads_n, 64)
+    heads_lo = jax.lax.reduce(c_lo, jnp.uint32(0), jax.lax.bitwise_or, (2,))
+    heads_hi = jax.lax.reduce(c_hi, jnp.uint32(0), jax.lax.bitwise_or, (2,))
+    tt_hi, tt_lo = bitops.transpose_bits_pair32(c_hi, c_lo, jnp)
+    body_lo = tt_lo.reshape(nb, fmt.HC_SIZE)
+    body_hi = tt_hi.reshape(nb, fmt.HC_SIZE)
+    dense_lo = jnp.concatenate([heads_lo, body_lo], axis=1)
+    dense_hi = jnp.concatenate([heads_hi, body_hi], axis=1)
+    valid = jnp.concatenate(
+        [jnp.ones((nb, heads_n), bool), (body_lo | body_hi) != 0], axis=1)
+    lengths = valid.sum(axis=1, dtype=jnp.int32)
+    dense = jnp.stack([dense_lo, dense_hi], axis=-1)  # interleaved pairs
+    return dense, valid, lengths
+
+
+def compress_sharded(data, mesh: Mesh):
+    """Compress a numpy/JAX array block-parallel over ``mesh``; returns
+    (stream uint32 np.ndarray, length_words).  Bit-identical to the serial
+    stream."""
+    from jax.experimental.shard_map import shard_map
+
+    data = np.ascontiguousarray(data) if isinstance(data, np.ndarray) else data
+    shape = tuple(data.shape)
+    fmt.validate_shape(shape)
+    dtype = np.dtype(data.dtype)
+    wb = fmt.word_bits_for_dtype(dtype)
+    dims = len(shape)
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    num_hc = fmt.num_hypercubes(shape)
+    per_shard = _shard_grid(shape, n)
+    side = fmt.SIDE_LENGTH[dims]
+    grid = fmt.grid_shape(shape)
+    rows_per_shard = grid[0] // n * side
+
+    # interior region, sharded along axis 0; borders handled globally
+    interior = tuple(slice(0, g * side) for g in grid)
+    local_shape = (rows_per_shard,) + tuple(g * side for g in grid[1:])
+    bound_local_u32 = per_shard * fmt.Profile(wb, dims).compressed_block_length_bound * (wb // 32)
+
+    def shard_fn(words):
+        if wb == 32:
+            w = words[0].reshape(local_shape)
+            entries, body, blen = _local_encode_parts(w, local_shape, dims, wb)
+        else:
+            lo = words[0].reshape(local_shape)
+            hi = words[1].reshape(local_shape)
+            entries, body, blen = _local_encode_parts((lo, hi), local_shape, dims, wb)
+        return entries, body, blen.reshape(1)
+
+    if dtype == np.float32:
+        host_words = (np.ascontiguousarray(data).view(np.uint32)[interior],)
+    else:
+        w64 = np.ascontiguousarray(data).view(np.uint64)[interior]
+        lo, hi = u64pair.split(np.ascontiguousarray(w64))
+        host_words = (lo, hi)
+
+    in_spec = P(axis) if dims >= 1 else P()
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(tuple(P(axis) for _ in host_words),),
+        out_specs=(P(axis), P(axis), P(axis)))
+
+    sharded_in = tuple(
+        jax.device_put(w, NamedSharding(mesh, P(axis))) for w in host_words)
+    entries, bodies, blens = jax.jit(mapped)(sharded_in)
+
+    # global assembly (host side — the stream is a host artifact)
+    entries = np.asarray(entries).reshape(n, per_shard)
+    bodies = np.asarray(bodies).reshape(n, bound_local_u32)
+    blens = np.asarray(blens).reshape(n)
+
+    word_u32 = wb // 32
+    shard_word_offsets = np.concatenate([[0], np.cumsum(blens)[:-1]]) // word_u32
+    header = (entries + shard_word_offsets[:, None].astype(np.uint32)).reshape(-1)
+
+    header_u32 = fmt.header_u32_words(num_hc, wb)
+    parts = [np.zeros(header_u32, np.uint32)]
+    parts[0][:num_hc] = header
+    for k in range(n):
+        parts.append(bodies[k][: blens[k]])
+    flat = (np.ascontiguousarray(data).view(
+        np.uint32 if wb == 32 else np.uint64)).reshape(-1)
+    for off, cnt in fmt.border_slices(shape):
+        seg = np.ascontiguousarray(flat[off : off + cnt])
+        parts.append(seg.view(np.uint32))
+    stream = np.concatenate(parts)
+    return stream, stream.size // word_u32
+
+
+def decompress_sharded(stream, shape, dtype, mesh: Mesh):
+    """Block-parallel decode: each shard random-accesses its block range via
+    the offset table and decodes locally; output is resharded to the array.
+    """
+    from jax.experimental.shard_map import shard_map
+    from .. import codec_xla
+
+    shape = tuple(shape)
+    dtype = np.dtype(dtype)
+    wb = fmt.word_bits_for_dtype(dtype)
+    dims = len(shape)
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    num_hc = fmt.num_hypercubes(shape)
+    per_shard = _shard_grid(shape, n)
+    side = fmt.SIDE_LENGTH[dims]
+    grid = fmt.grid_shape(shape)
+    rows_per_shard = grid[0] // n * side
+    local_shape = (rows_per_shard,) + tuple(g * side for g in grid[1:])
+
+    stream = np.asarray(stream)
+    bound = fmt.compressed_bound_u32(shape, wb)
+    padded = np.zeros(bound, np.uint32)
+    padded[: stream.size] = stream
+
+    header_u32 = fmt.header_u32_words(num_hc, wb)
+    offsets = stream[:num_hc].astype(np.int64)
+    starts = np.concatenate([[0], offsets[:-1]]).astype(np.int32)
+
+    heads_n = fmt.HC_SIZE // wb
+    win = heads_n + fmt.HC_SIZE  # words per window
+
+    def shard_fn(stream_rep, starts_local):
+        # gather each local block's window and decode
+        if wb == 32:
+            idx = header_u32 + starts_local[:, None] + jnp.arange(win, dtype=jnp.int32)
+            idx = jnp.minimum(idx, bound - 1)
+            windows = stream_rep[idx]
+            blocks = _decode_windows_xla32(windows, dims)
+            words = codec_xla._scatter_blocks(
+                blocks, local_shape, jnp.zeros(int(np.prod(local_shape)), jnp.uint32))
+            return words.reshape(local_shape)
+        else:
+            widx = starts_local[:, None] + jnp.arange(win, dtype=jnp.int32)
+            lo_idx = jnp.minimum(header_u32 + 2 * widx, bound - 1)
+            win_lo = stream_rep[lo_idx]
+            win_hi = stream_rep[jnp.minimum(lo_idx + 1, bound - 1)]
+            b_lo, b_hi = _decode_windows_xla64(win_lo, win_hi, dims)
+            z = jnp.zeros(int(np.prod(local_shape)), jnp.uint32)
+            lo = codec_xla._scatter_blocks(b_lo, local_shape, z)
+            hi = codec_xla._scatter_blocks(b_hi, local_shape, z)
+            return jnp.stack([lo.reshape(local_shape), hi.reshape(local_shape)], axis=-1)
+
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis))
+    out_local = jax.jit(mapped)(jnp.asarray(padded), jnp.asarray(starts))
+
+    # assemble on host: interior + border
+    word_dt = np.uint32 if wb == 32 else np.uint64
+    words = np.zeros(shape, dtype=word_dt)
+    interior = tuple(slice(0, g * side) for g in grid)
+    if wb == 32:
+        words[interior] = np.asarray(out_local).reshape(
+            (grid[0] * side,) + tuple(g * side for g in grid[1:]))
+    else:
+        pairs = np.asarray(out_local).reshape(
+            (grid[0] * side,) + tuple(g * side for g in grid[1:]) + (2,))
+        words[interior] = u64pair.join(pairs[..., 0], pairs[..., 1])
+
+    body_total = int(offsets[-1]) if num_hc else 0
+    bpos = header_u32 + body_total * (wb // 32)
+    flat = words.reshape(-1)
+    for off, cnt in fmt.border_slices(shape):
+        chunk = stream[bpos : bpos + cnt * (wb // 32)]
+        flat[off : off + cnt] = np.ascontiguousarray(chunk).view(word_dt)
+        bpos += cnt * (wb // 32)
+    return flat.reshape(shape).view(dtype)
+
+
+def _decode_windows_xla32(windows, dims):
+    from .. import codec_xla
+    from ..ops import bitops
+
+    nb = windows.shape[0]
+    heads_n = fmt.HC_SIZE // 32
+    heads = windows[:, :heads_n]
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    present = ((heads[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)).astype(jnp.int32)
+    ranks = jnp.cumsum(present, axis=2) - present
+    counts = present.sum(axis=2)
+    chunk_starts = heads_n + jnp.cumsum(counts, axis=1) - counts
+    src = chunk_starts[:, :, None] + ranks
+    gathered = jnp.take_along_axis(windows, src.reshape(nb, -1), axis=1)
+    transposed = jnp.where(
+        present.astype(bool), gathered.reshape(nb, heads_n, 32), jnp.uint32(0))
+    chunks = bitops.transpose_bits(transposed, jnp)
+    return codec_xla.inverse_block_transform_u32(chunks.reshape(nb, fmt.HC_SIZE), dims)
+
+
+def _decode_windows_xla64(win_lo, win_hi, dims):
+    from .. import codec_xla
+    from ..ops import bitops
+
+    nb = win_lo.shape[0]
+    heads_n = fmt.HC_SIZE // 64
+    heads_lo = win_lo[:, :heads_n]
+    heads_hi = win_hi[:, :heads_n]
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    bits_hi = (heads_hi[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    bits_lo = (heads_lo[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    present = jnp.concatenate([bits_hi, bits_lo], axis=2).astype(jnp.int32)
+    ranks = jnp.cumsum(present, axis=2) - present
+    counts = present.sum(axis=2)
+    chunk_starts = heads_n + jnp.cumsum(counts, axis=1) - counts
+    src = (chunk_starts[:, :, None] + ranks).reshape(nb, -1)
+    g_lo = jnp.take_along_axis(win_lo, src, axis=1).reshape(nb, heads_n, 64)
+    g_hi = jnp.take_along_axis(win_hi, src, axis=1).reshape(nb, heads_n, 64)
+    pb = present.astype(bool).reshape(nb, heads_n, 64)
+    tt_lo = jnp.where(pb, g_lo, jnp.uint32(0))
+    tt_hi = jnp.where(pb, g_hi, jnp.uint32(0))
+    c_hi, c_lo = bitops.transpose_bits_pair32(tt_hi, tt_lo, jnp)
+    return codec_xla.inverse_block_transform_pair(
+        c_lo.reshape(nb, fmt.HC_SIZE), c_hi.reshape(nb, fmt.HC_SIZE), dims)
