@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Headline benchmark: fp32 codec throughput on the configured TPU chip
+(BASELINE.json config 1: 1D fp32, 2^24 elements).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+
+vs_baseline compares against BASELINE.json's north-star per-chip share:
+100 GB/s aggregate on a v5e-16 == 6.25 GB/s per chip.
+
+Timing methodology: device-only time, measured by chaining N invocations
+inside one jitted fori_loop (each iteration's input depends on the loop
+index so XLA cannot hoist or CSE the codec call), syncing once, and
+dividing by N.  This excludes host<->device transfer and host sync
+overhead — the analog of the reference's CUDA-event kernel timing
+(/root/reference/src/benchmark/benchmark.cc:331-341; on this setup a
+single host sync costs 30-60 ms of tunnel round-trip, which would swamp
+the kernels).  Correctness (bit-exact round-trip) is asserted on every
+run, as the reference does (benchmark.cc:263-265).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+PER_CHIP_BASELINE_GBPS = 100.0 / 16.0  # north star / v5e-16 chips
+REPS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ndzip_tpu import codec_pallas, codec_xla, format as fmt, golden
+
+    shape = (2**24,)
+    rng = np.random.default_rng(0)
+    data = (np.sin(np.arange(shape[0], dtype=np.float32) * 1e-4)
+            + 0.001 * rng.standard_normal(shape[0]).astype(np.float32))
+    nbytes = data.nbytes
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        enc = lambda w: codec_pallas._encode_fp32_device(w, shape)
+        dec = lambda s: codec_pallas._decode_fp32_device(s, shape)
+        pad_extra = codec_pallas.WIN_ROWS * codec_pallas.LANES
+        backend = "pallas"
+    else:
+        enc = codec_xla.encode_fn(shape, 32)
+        dec = codec_xla.decode_fn(shape, 32)
+        pad_extra = 0
+        backend = "xla"
+
+    words = jnp.asarray(data.view(np.uint32))
+    padded, length = enc(words)
+    length = int(length)
+
+    bound = fmt.compressed_bound_u32(shape, 32)
+    host_stream = np.zeros(bound + pad_extra, np.uint32)
+    host_stream[:length] = np.asarray(padded[:length])
+    stream_dev = jnp.asarray(host_stream)
+
+    # correctness gate: bit-exact round trip + stream matches the oracle
+    out = np.asarray(dec(stream_dev))
+    assert np.array_equal(out.reshape(-1), data.view(np.uint32)), "round-trip failed"
+    g_stream, g_len = golden.compress(data)
+    assert g_len == length and host_stream[:length].tobytes() == g_stream.tobytes(), \
+        "stream does not match the reference-format oracle"
+
+    # --- amortized device timing ---
+    @jax.jit
+    def enc_loop(w):
+        def body(i, acc):
+            p, ln = enc(w ^ i.astype(jnp.uint32))
+            return acc + ln + jax.lax.bitcast_convert_type(p[0], jnp.int32)
+        return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
+
+    @jax.jit
+    def dec_loop(s):
+        def body(i, carry):
+            s_, acc = carry
+            # touch the padding tail so the input differs every iteration
+            s_ = jax.lax.dynamic_update_slice(
+                s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
+            w = dec(s_)
+            return s_, acc + jax.lax.bitcast_convert_type(
+                w.reshape(-1)[0], jnp.int32)
+        _, acc = jax.lax.fori_loop(0, REPS, body, (s, jnp.int32(0)))
+        return acc
+
+    int(enc_loop(words))  # warm-up / compile
+    t0 = time.perf_counter()
+    int(enc_loop(words))
+    t_enc = (time.perf_counter() - t0) / REPS
+
+    int(dec_loop(stream_dev))
+    t0 = time.perf_counter()
+    int(dec_loop(stream_dev))
+    t_dec = (time.perf_counter() - t0) / REPS
+
+    dec_gbps = nbytes / t_dec / 1e9
+    enc_gbps = nbytes / t_enc / 1e9
+
+    result = {
+        "metric": "fp32 1D 2^24 decompression throughput (single chip, device time)",
+        "value": round(dec_gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(dec_gbps / PER_CHIP_BASELINE_GBPS, 3),
+        "extra": {
+            "compress_gbps": round(enc_gbps, 3),
+            "ratio": round(length * 4 / nbytes, 4),
+            "backend": backend,
+            "reps": REPS,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

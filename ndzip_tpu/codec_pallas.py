@@ -194,8 +194,7 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps):
             pltpu.make_async_copy(
                 hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
 
-        x = blocks_ref[0]                      # (G, 4096) uint32
-        xf = x.reshape(G, 32, LANES)
+        xf = blocks_ref[0].reshape(G, 32, LANES)   # free: leading split
         xf = forward_transform_flat(xf, dims)
 
         # heads: OR over each 32-lane chunk segment, gathered into one row
@@ -275,7 +274,7 @@ def _encode_blocks_fp32(blocks, dims, num_hc):
     body, hdr = pl.pallas_call(
         kernel,
         grid=(nsteps,),
-        in_specs=[pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g: (g, 0, 0),
+        in_specs=[pl.BlockSpec((1, G * 32, LANES), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY)),
@@ -291,7 +290,7 @@ def _encode_blocks_fp32(blocks, dims, num_hc):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=INTERPRET,
-    )(blocks.reshape(nsteps, G, fmt.HC_SIZE))
+    )(blocks.reshape(nsteps, G * 32, LANES))
     return body, hdr
 
 

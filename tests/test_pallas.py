@@ -1,0 +1,61 @@
+"""Pallas kernel tests in interpreter mode (CPU).  Real-TPU runs are
+exercised by bench.py and the verify flow; these tests validate kernel
+logic (bit-equality vs golden) without TPU hardware."""
+
+import numpy as np
+import pytest
+
+from ndzip_tpu import codec_pallas, golden
+
+codec_pallas.INTERPRET = True
+
+RNG = np.random.default_rng(11)
+
+SHAPES = [
+    ((4096 * 8,), "1d"),
+    ((4096 * 8 + 100,), "1d border"),
+    ((128, 192), "2d"),
+    ((32, 32, 33), "3d border"),
+]
+
+
+def make_data(shape):
+    data = RNG.standard_normal(shape).astype(np.float32)
+    flat = data.reshape(-1)
+    flat[:200] = 0
+    flat[300:340] = flat[299]
+    return data
+
+
+@pytest.mark.parametrize("shape,label", SHAPES)
+def test_pallas_encode_matches_golden(shape, label):
+    data = make_data(shape)
+    g, gl = golden.compress(data)
+    s, l = codec_pallas.compress(data)
+    assert l == gl
+    assert s.tobytes() == g.tobytes()
+
+
+@pytest.mark.parametrize("shape,label", SHAPES)
+def test_pallas_decodes_golden(shape, label):
+    data = make_data(shape)
+    g, _ = golden.compress(data)
+    out = codec_pallas.decompress(g, shape, np.float32)
+    assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
+
+
+def test_pallas_all_zero_blocks():
+    data = np.zeros((4096 * 8,), np.float32)
+    g, gl = golden.compress(data)
+    s, l = codec_pallas.compress(data)
+    assert l == gl and s.tobytes() == g.tobytes()
+    out = codec_pallas.decompress(s, data.shape, np.float32)
+    assert np.array_equal(out, data)
+
+
+def test_pallas_fp64_falls_back():
+    # fp64 currently routes to the XLA codec — still bit-exact
+    data = RNG.standard_normal(4097)
+    g, gl = golden.compress(data)
+    s, l = codec_pallas.compress(data)
+    assert l == gl and s.tobytes() == g.tobytes()

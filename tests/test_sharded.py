@@ -1,0 +1,53 @@
+"""Multi-device block-parallel codec tests on the virtual 8-device CPU mesh
+(conftest.py forces JAX_PLATFORMS=cpu with 8 host devices)."""
+
+import jax
+import numpy as np
+import pytest
+
+from ndzip_tpu import golden
+from ndzip_tpu.parallel import compress_sharded, decompress_sharded, make_mesh
+
+RNG = np.random.default_rng(5)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(devs[:8])
+
+
+SHAPES = [
+    ((4096 * 16,), np.float32),      # 16 blocks / 8 shards
+    ((4096 * 16 + 33,), np.float32),  # + border
+    ((512, 70), np.float32),          # 8 block-rows, minor border
+    ((128, 64, 33), np.float64),      # 3D fp64 with border
+]
+
+
+@pytest.mark.parametrize("shape,dtype", SHAPES)
+def test_sharded_stream_bit_identical(mesh8, shape, dtype):
+    data = RNG.standard_normal(shape).astype(dtype)
+    data.reshape(-1)[:100] = 0
+    expect, elen = golden.compress(data)
+    stream, length = compress_sharded(data, mesh8)
+    assert length == elen
+    assert stream.tobytes() == expect.tobytes()
+
+
+@pytest.mark.parametrize("shape,dtype", SHAPES)
+def test_sharded_decode(mesh8, shape, dtype):
+    data = RNG.standard_normal(shape).astype(dtype)
+    data.reshape(-1)[:100] = 0
+    stream, _ = golden.compress(data)
+    out = decompress_sharded(stream, shape, dtype, mesh8)
+    wdt = np.uint64 if dtype == np.float64 else np.uint32
+    assert np.array_equal(out.view(wdt), data.view(wdt))
+
+
+def test_sharded_rejects_indivisible(mesh8):
+    data = RNG.standard_normal(4096 * 3).astype(np.float32)
+    with pytest.raises(ValueError):
+        compress_sharded(data, mesh8)
