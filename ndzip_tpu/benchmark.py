@@ -1,0 +1,490 @@
+"""Benchmark harness — the TPU-native port of the reference's benchmark
+driver (/root/reference/src/benchmark/benchmark.cc).
+
+Reproduces the reference's measurement methodology exactly:
+
+* Dataset registry: CSV lines ``name;float|double;d0 [d1 [d2]]`` naming raw
+  little-endian ``.f32``/``.f64`` dumps relative to the CSV's directory
+  (benchmark.cc:102-125, docs/benchmarking.md:20-34).  ``--synthetic``
+  generates the BASELINE.json config set in a temp dir instead.
+* Repetition protocol: one warm-up rep, then reps until the accumulated
+  time reaches ``--min-time`` (default 1 s), at least ``--min-reps``, at
+  most ``--max-reps`` = 100 (benchmark.cc:128-136,193-228).
+* Cache trashing between host-codec reps: a 256 MiB buffer walk so CPU
+  timings aren't flattered by residency (benchmark.cc:147-156).
+* Device timing for TPU backends: N invocations chained inside one jitted
+  fori_loop, synced once and divided by N — the analog of CUDA-event
+  kernel timing, excluding host<->device transfer (benchmark.cc:331-341).
+* Correctness gate: every algorithm round-trips and the output is compared
+  bit-exactly against the input on every benchmark run
+  (benchmark.cc:263-265,346).
+* Output CSV: ``dataset;data type;dimensions;algorithm;tunable;number of
+  threads;compression times (microseconds);decompression times
+  (microseconds);uncompressed bytes;compressed bytes`` with semicolon-
+  separated rep lists in double quotes (benchmark.cc:1332-1336,1487-1489).
+
+Third-party competitors (benchmark.cc:1196-1253 builds 18 of them from
+vendored submodules; here we integrate everything importable in-image):
+memcpy, zlib/deflate, lzma, bz2, zstd.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from . import format as fmt
+
+MAX_REPS_DEFAULT = 100
+CACHE_TRASH_BYTES = 256 * 1024 * 1024  # benchmark.cc:147
+
+
+@dataclass
+class Dataset:
+    name: str
+    path: Path
+    dtype: np.dtype
+    shape: tuple
+
+    def load(self) -> np.ndarray:
+        data = np.fromfile(self.path, dtype=self.dtype)
+        n = int(np.prod(self.shape))
+        if data.size != n:
+            raise ValueError(
+                f"{self.path}: has {data.size} elements, metadata says {n}")
+        return data.reshape(self.shape)
+
+
+def read_dataset_registry(csv_path: Path) -> list[Dataset]:
+    """Parse the reference's metadata CSV (benchmark.cc:102-125)."""
+    out = []
+    base = csv_path.parent
+    for line in csv_path.read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = [p.strip() for p in line.split(";")]
+        if len(parts) != 3:
+            raise ValueError(f"malformed dataset line: {line!r}")
+        name, typ, dims_s = parts
+        dtype = np.dtype(np.float32 if typ == "float" else np.float64)
+        if typ not in ("float", "double"):
+            raise ValueError(f"bad data type {typ!r} in line {line!r}")
+        shape = tuple(int(x) for x in dims_s.split())
+        out.append(Dataset(name, base / name, dtype, shape))
+    return out
+
+
+def make_synthetic(tmpdir: Path) -> list[Dataset]:
+    """Generate the BASELINE.json benchmark configs as raw dumps."""
+    rng = np.random.default_rng(0)
+    specs = [
+        ("sin1d.f32", np.float32, (2**24,)),
+        ("grid2d.f32", np.float32, (1800, 3600)),
+        ("cube3d.f64", np.float64, (256, 256, 256)),
+    ]
+    tmpdir.mkdir(parents=True, exist_ok=True)
+    sets = []
+    for name, dt, shape in specs:
+        n = int(np.prod(shape))
+        t = np.arange(n, dtype=np.float64) * 1e-4
+        data = (np.sin(t) + 0.001 * rng.standard_normal(n)).astype(dt)
+        path = tmpdir / name
+        if not path.exists() or path.stat().st_size != data.nbytes:
+            data.tofile(path)
+        sets.append(Dataset(name, path, np.dtype(dt), shape))
+    return sets
+
+
+# ------------------------------------------------------------------ timing
+
+
+class _CacheTrasher:
+    """Touch 256 MiB between reps so host timings include cold cache
+    effects (benchmark.cc:147-156)."""
+
+    def __init__(self):
+        self._buf = None
+
+    def trash(self):
+        if self._buf is None:
+            self._buf = np.ones(CACHE_TRASH_BYTES // 8, dtype=np.int64)
+        self._buf += 1
+
+
+_TRASHER = _CacheTrasher()
+
+
+def _rep_loop(fn, min_time: float, min_reps: int, max_reps: int,
+              trash_cache: bool) -> list[float]:
+    """Reference rep protocol (benchmark.cc:193-228): warm-up + timed reps."""
+    fn()  # warm-up (also triggers any jit compile)
+    times = []
+    total = 0.0
+    while len(times) < max_reps and (total < min_time or len(times) < min_reps):
+        if trash_cache:
+            _TRASHER.trash()
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        total += dt
+    return times
+
+
+# ------------------------------------------------------------------ algorithms
+
+
+@dataclass
+class BenchResult:
+    algorithm: str
+    tunable: int
+    threads: int
+    comp_times: list[float]
+    decomp_times: list[float]
+    uncompressed_bytes: int
+    compressed_bytes: int
+
+
+class Algorithm:
+    name = "?"
+    tunables = (1,)
+
+    def available(self, dataset: Dataset) -> bool:
+        return True
+
+    def run(self, data: np.ndarray, tunable: int, threads: int,
+            min_time: float, min_reps: int, max_reps: int) -> BenchResult:
+        raise NotImplementedError
+
+
+class _ByteCodecAlgorithm(Algorithm):
+    """Generic byte-stream compressor benched on the raw array bytes."""
+
+    trash_cache = True
+
+    def _compress(self, buf: bytes, tunable: int) -> bytes:
+        raise NotImplementedError
+
+    def _decompress(self, comp: bytes, out_len: int) -> bytes:
+        raise NotImplementedError
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        buf = data.tobytes()
+        comp = self._compress(buf, tunable)
+        out = self._decompress(comp, len(buf))
+        assert out == buf, f"{self.name}: round-trip failed"
+        comp_times = _rep_loop(lambda: self._compress(buf, tunable),
+                               min_time, min_reps, max_reps, self.trash_cache)
+        decomp_times = _rep_loop(lambda: self._decompress(comp, len(buf)),
+                                 min_time, min_reps, max_reps, self.trash_cache)
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, len(buf), len(comp))
+
+
+class MemcpyAlgorithm(Algorithm):
+    """Upper-bound baseline (benchmark.cc memcpy integration)."""
+
+    name = "memcpy"
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        src = np.frombuffer(data.tobytes(), dtype=np.uint8)
+        dst = np.empty_like(src)
+
+        def do():
+            np.copyto(dst, src)
+
+        do()
+        assert dst.tobytes() == src.tobytes()
+        comp_times = _rep_loop(do, min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(do, min_time, min_reps, max_reps, True)
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, src.nbytes, src.nbytes)
+
+
+class ZlibAlgorithm(_ByteCodecAlgorithm):
+    name = "deflate"
+    tunables = (1, 9)
+
+    def _compress(self, buf, tunable):
+        import zlib
+
+        return zlib.compress(buf, tunable)
+
+    def _decompress(self, comp, out_len):
+        import zlib
+
+        return zlib.decompress(comp)
+
+
+class LzmaAlgorithm(_ByteCodecAlgorithm):
+    name = "lzma"
+    tunables = (1,)
+
+    def _compress(self, buf, tunable):
+        import lzma
+
+        return lzma.compress(buf, preset=tunable)
+
+    def _decompress(self, comp, out_len):
+        import lzma
+
+        return lzma.decompress(comp)
+
+
+class Bz2Algorithm(_ByteCodecAlgorithm):
+    name = "bzip2"
+    tunables = (1,)
+
+    def _compress(self, buf, tunable):
+        import bz2
+
+        return bz2.compress(buf, tunable)
+
+    def _decompress(self, comp, out_len):
+        import bz2
+
+        return bz2.decompress(comp)
+
+
+class ZstdAlgorithm(_ByteCodecAlgorithm):
+    name = "zstd"
+    tunables = (1, 19)
+
+    def available(self, dataset):
+        try:
+            import zstandard  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    def _compress(self, buf, tunable):
+        import zstandard
+
+        return zstandard.ZstdCompressor(level=tunable).compress(buf)
+
+    def _decompress(self, comp, out_len):
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(comp, max_output_size=out_len)
+
+
+class NdzipHostAlgorithm(Algorithm):
+    """ndzip host backends: golden (numpy), cpu (native C++, 1..N threads),
+    xla (jit on the default platform, host-timed)."""
+
+    def __init__(self, backend: str):
+        self.backend = backend
+        self.name = f"ndzip-{backend}"
+
+    def available(self, dataset):
+        if self.backend == "cpu":
+            from . import native
+
+            return native.available()
+        return True
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        from . import api
+
+        comp = api.make_compressor(data.dtype, data.ndim, self.backend, threads)
+        dec = api.make_decompressor(data.dtype, data.ndim, self.backend, threads)
+        stream, words = comp.compress(data)
+        out = dec.decompress(stream, data.shape)
+        assert np.array_equal(
+            out.view(np.uint8).reshape(-1), data.view(np.uint8).reshape(-1)), \
+            f"{self.name}: round-trip failed"
+        comp_times = _rep_loop(lambda: comp.compress(data),
+                               min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(lambda: dec.decompress(stream, data.shape),
+                                 min_time, min_reps, max_reps, True)
+        word_bytes = fmt.word_bits_for_dtype(data.dtype) // 8
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, data.nbytes, words * word_bytes)
+
+
+class NdzipTpuAlgorithm(Algorithm):
+    """ndzip on the TPU via the Pallas kernels, device-time measured: REPS
+    invocations chained in one jitted fori_loop (inputs perturbed per
+    iteration so XLA cannot CSE), one sync, divide by REPS — the analog of
+    the reference's CUDA-event timing (benchmark.cc:331-341)."""
+
+    name = "ndzip-tpu"
+    CHAIN = 10
+
+    def available(self, dataset):
+        try:
+            import jax
+
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            return False
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        import jax
+        import jax.numpy as jnp
+
+        from . import codec_pallas
+        from .ops import u64pair
+
+        shape = tuple(data.shape)
+        wb = fmt.word_bits_for_dtype(data.dtype)
+        if wb == 32:
+            dev_in = (jnp.asarray(data.view(np.uint32)),)
+            enc = lambda w: codec_pallas._encode_fp32_device(w, shape)
+            dec_dev = lambda s: codec_pallas._decode_fp32_device(s, shape)
+        else:
+            lo, hi = u64pair.split(np.ascontiguousarray(data).view(np.uint64))
+            dev_in = (jnp.asarray(lo), jnp.asarray(hi))
+            enc = lambda lo_, hi_: codec_pallas._encode_fp64_device(lo_, hi_, shape)
+            dec_dev = lambda s: codec_pallas._decode_fp64_device(s, shape)
+
+        padded, length = enc(*dev_in)
+        length = int(length)
+        stream_host = np.asarray(padded[:length])
+        # correctness gate: bit-exact round trip (benchmark.cc:263-265)
+        out = codec_pallas.decompress(stream_host, shape, data.dtype)
+        assert np.array_equal(out.view(np.uint8).reshape(-1),
+                              data.view(np.uint8).reshape(-1)), \
+            "ndzip-tpu: round-trip failed"
+        padded_dec = codec_pallas._pad_for_decode(stream_host, shape, wb)
+        stream_dev = jnp.asarray(padded_dec)
+
+        chain = self.CHAIN
+
+        @jax.jit
+        def enc_loop(ins):
+            def body(i, acc):
+                perturbed = tuple(w ^ i.astype(jnp.uint32) for w in ins)
+                p, ln = enc(*perturbed)
+                return acc + ln + jax.lax.bitcast_convert_type(p[0], jnp.int32)
+            return jax.lax.fori_loop(0, chain, body, jnp.int32(0))
+
+        @jax.jit
+        def dec_loop(s):
+            def body(i, carry):
+                s_, acc = carry
+                s_ = jax.lax.dynamic_update_slice(
+                    s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
+                w = dec_dev(s_)
+                first = w[0] if not isinstance(w, tuple) else w[0]
+                return s_, acc + jax.lax.bitcast_convert_type(
+                    first.reshape(-1)[0], jnp.int32)
+            _, acc = jax.lax.fori_loop(0, chain, body, (s, jnp.int32(0)))
+            return acc
+
+        def run_enc():
+            int(enc_loop(dev_in))
+
+        def run_dec():
+            int(dec_loop(stream_dev))
+
+        comp_times = [t / chain for t in _rep_loop(
+            run_enc, min_time, min_reps, max_reps, False)]
+        decomp_times = [t / chain for t in _rep_loop(
+            run_dec, min_time, min_reps, max_reps, False)]
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, data.nbytes, length * 4)
+
+
+def default_algorithms() -> dict[str, Algorithm]:
+    algos = [
+        MemcpyAlgorithm(),
+        ZlibAlgorithm(),
+        LzmaAlgorithm(),
+        Bz2Algorithm(),
+        ZstdAlgorithm(),
+        NdzipHostAlgorithm("golden"),
+        NdzipHostAlgorithm("cpu"),
+        NdzipHostAlgorithm("xla"),
+        NdzipTpuAlgorithm(),
+    ]
+    return {a.name: a for a in algos}
+
+
+# ------------------------------------------------------------------ driver
+
+
+CSV_HEADER = ("dataset;data type;dimensions;algorithm;tunable;"
+              "number of threads;compression times (microseconds);"
+              "decompression times (microseconds);"
+              "uncompressed bytes;compressed bytes")
+
+
+def format_row(ds: Dataset, r: BenchResult) -> str:
+    """benchmark.cc:1332-1336 CSV row format."""
+    fmt_times = lambda ts: '"' + ";".join(str(round(t * 1e6)) for t in ts) + '"'
+    typ = "float" if ds.dtype == np.float32 else "double"
+    return ";".join([
+        ds.name, typ, str(len(ds.shape)), r.algorithm, str(r.tunable),
+        str(r.threads), fmt_times(r.comp_times), fmt_times(r.decomp_times),
+        str(r.uncompressed_bytes), str(r.compressed_bytes)])
+
+
+def benchmark_file(ds: Dataset, algorithms: dict[str, Algorithm],
+                   threads_list: list[int], min_time: float, min_reps: int,
+                   max_reps: int, out=sys.stdout):
+    data = ds.load()
+    for name, algo in algorithms.items():
+        if not algo.available(ds):
+            print(f"# {name}: not available, skipped", file=sys.stderr)
+            continue
+        thread_opts = threads_list if name == "ndzip-cpu" else [1]
+        for threads in thread_opts:
+            for tunable in algo.tunables:
+                try:
+                    r = algo.run(data, tunable, threads, min_time,
+                                 min_reps, max_reps)
+                except Exception as e:  # report and continue, like the ref
+                    print(f"# {name} failed on {ds.name}: {e}", file=sys.stderr)
+                    continue
+                print(format_row(ds, r), file=out)
+                out.flush()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="ndzip-tpu benchmark (reference: src/benchmark/benchmark.cc)")
+    p.add_argument("metadata", nargs="?", help="dataset registry CSV")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate + bench the BASELINE.json synthetic configs")
+    p.add_argument("-a", "--algorithms", nargs="*", default=None,
+                   help="subset of algorithms to run")
+    p.add_argument("-r", "--min-reps", type=int, default=1)
+    p.add_argument("-R", "--max-reps", type=int, default=MAX_REPS_DEFAULT)
+    p.add_argument("-t", "--min-time", type=float, default=1.0)
+    p.add_argument("-T", "--threads", type=int, nargs="*", default=[1])
+    args = p.parse_args(argv)
+
+    if args.synthetic:
+        datasets = make_synthetic(Path(os.environ.get(
+            "NDZIP_TPU_BENCH_DIR", "/tmp/ndzip_tpu_bench")))
+    elif args.metadata:
+        datasets = read_dataset_registry(Path(args.metadata))
+    else:
+        p.error("either a metadata CSV or --synthetic is required")
+
+    algorithms = default_algorithms()
+    if args.algorithms:
+        unknown = set(args.algorithms) - set(algorithms)
+        if unknown:
+            p.error(f"unknown algorithms: {sorted(unknown)}; "
+                    f"available: {sorted(algorithms)}")
+        algorithms = {k: v for k, v in algorithms.items() if k in args.algorithms}
+
+    print(CSV_HEADER)
+    for ds in datasets:
+        benchmark_file(ds, algorithms, args.threads, args.min_time,
+                       args.min_reps, args.max_reps)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -389,6 +389,449 @@ def _decode_blocks_fp32(stream2d, starts, rotidx, dims, num_hc):
 
 
 # =====================================================================
+# fp64 — every 64-bit stream word is a (lo, hi) uint32 pair held in two
+# separate (32, 128) "planes" per block (4096 u64 words).  Chunks are 64
+# words, i.e. 64-lane segments; heads per block are 64 u64 words = the
+# first 64 lanes of the dense head row.  Planes are compacted together
+# (compact_flat moves tuples) in u64-word granularity and interleaved to
+# the final u32 stream by one XLA pass.  Mirrors the reference's
+# 32-bit-register 64-bit formulation (cuda_codec.inl:236-264).
+# =====================================================================
+
+
+def rotl1_pair(lo, hi):
+    one, t31 = _u32(1), _u32(31)
+    return (lo << one) | (hi >> t31), (hi << one) | (lo >> t31)
+
+
+def rotr1_pair(lo, hi):
+    one, t31 = _u32(1), _u32(31)
+    return (lo >> one) | (hi << t31), (hi >> one) | (lo << t31)
+
+
+def complement_negative_pair(lo, hi):
+    sign = (hi >> _u32(31)) != 0
+    lo2 = jnp.where(sign, lo ^ _u32(0xFFFFFFFF), lo)
+    hi2 = jnp.where(sign, hi ^ _u32(0x7FFFFFFF), hi)
+    return lo2, hi2
+
+
+def forward_transform_flat_pair(lo, hi, dims):
+    lo, hi = rotl1_pair(lo, hi)
+    for stride, seg in TRANSFORM_AXES[dims]:
+        lo, hi = fv.segmented_diff_flat_pair(lo, hi, stride, seg)
+    return complement_negative_pair(lo, hi)
+
+
+def inverse_transform_flat_pair(lo, hi, dims):
+    lo, hi = complement_negative_pair(lo, hi)
+    for stride, seg in reversed(TRANSFORM_AXES[dims]):
+        lo, hi = fv.segmented_cumsum_flat_pair(lo, hi, stride, seg)
+    return rotr1_pair(lo, hi)
+
+
+def transpose_bits_lane64_pair(lo, hi):
+    """64x64 bit transpose of every aligned 64-lane segment, on (lo, hi)
+    plane pairs: four 32x32 quadrant transposes + a half-segment swap
+    between planes (see ops/bitops.py::transpose_bits_pair32 for the
+    quadrant algebra).  Involution."""
+    t_lo = transpose_bits_lane32(lo)
+    t_hi = transpose_bits_lane32(hi)
+    cols = jax.lax.broadcasted_iota(jnp.int32, lo.shape, lo.ndim - 1)
+    first_half = (cols & 63) < 32
+    out_hi = jnp.where(first_half, t_hi, pltpu.roll(t_lo, shift=32, axis=lo.ndim - 1))
+    out_lo = jnp.where(first_half, pltpu.roll(t_hi, shift=96, axis=lo.ndim - 1), t_lo)
+    return out_lo, out_hi
+
+
+def segment_or64(a):
+    """Suffix-OR within every aligned 64-lane segment; the segment's start
+    lane ends up holding the OR of the chunk's 64 words (one plane of the
+    u64 head bitmap)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    k = 1
+    while k < 64:
+        rolled = pltpu.roll(a, shift=LANES - k, axis=a.ndim - 1)
+        ok = (cols & 63) < 64 - k
+        a = jnp.where(ok, a | rolled, a)
+        k <<= 1
+    return a
+
+
+def head_row64_from_flat(hs):
+    """hs: (G, 32, 128) with chunk c's head at (row c//2, lane 64*(c%2)).
+    Returns (G, 1, 128) with head[c] at lane c (c < 64), zeros above."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+    idx1 = jnp.where(cols < 2, cols << 6, 0)
+    h1 = jnp.where(cols < 2, _gather_lanes(hs, idx1), _u32(0))
+    idx2 = (cols - (rows << 1)) & (LANES - 1)
+    h2 = _gather_lanes(h1, idx2)
+    for h in (16, 8, 4, 2, 1):
+        h2 = h2[:, :h] | h2[:, h : 2 * h]
+    return h2
+
+
+def head_spread64_to_flat(head_row, G):
+    """(G, 1, 128) head row (head[c] at lane c < 64) -> (G, 32, 128) where
+    every flat u64-word position holds its chunk's head-plane word."""
+    b = jnp.broadcast_to(head_row, (G, 32, LANES))
+    rows = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
+    idx = (rows << 1) + (cols >> 6)
+    return _gather_lanes(b, idx)
+
+
+# ------------------------------------------------------------- fp64 encode
+
+
+def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw):
+    R = 1 + G * 33  # carry row + G blocks of (1 head row + 32 body rows)
+
+    def kernel(lo_ref, hi_ref, blo_ref, bhi_ref, hdr_ref,
+               stag_lo, stag_hi, carry_lo, carry_hi, hdr_row,
+               sm, sem_lo, sem_hi, sem_hdr):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            sm[0] = hw // LANES      # current output row base (u64-word rows)
+            sm[1] = hw % LANES       # fill level of the partial row
+            sm[2] = 0                # total body u64 words emitted
+            carry_lo[:] = jnp.zeros((1, LANES), jnp.uint32)
+            carry_hi[:] = jnp.zeros((1, LANES), jnp.uint32)
+
+        @pl.when(step > 0)
+        def _():
+            pltpu.make_async_copy(
+                stag_lo.at[:], blo_ref.at[pl.ds(0, R)], sem_lo).wait()
+            pltpu.make_async_copy(
+                stag_hi.at[:], bhi_ref.at[pl.ds(0, R)], sem_hi).wait()
+            pltpu.make_async_copy(
+                hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
+
+        lo = lo_ref[0].reshape(G, 32, LANES)
+        hi = hi_ref[0].reshape(G, 32, LANES)
+        lo, hi = forward_transform_flat_pair(lo, hi, dims)
+
+        heads_lo = head_row64_from_flat(segment_or64(lo))   # (G, 1, 128)
+        heads_hi = head_row64_from_flat(segment_or64(hi))
+        body_lo, body_hi = transpose_bits_lane64_pair(lo, hi)
+        dense_lo = jnp.concatenate([heads_lo, body_lo], axis=1)  # (G, 33, 128)
+        dense_hi = jnp.concatenate([heads_hi, body_hi], axis=1)
+
+        rows3 = jax.lax.broadcasted_iota(jnp.int32, dense_lo.shape, 1)
+        cols3 = jax.lax.broadcasted_iota(jnp.int32, dense_lo.shape, 2)
+        blk = step * G + jax.lax.broadcasted_iota(jnp.int32, dense_lo.shape, 0)
+        real = (blk < num_hc).astype(jnp.int32)
+        valid3 = jnp.where(
+            rows3 == 0, (cols3 < 64).astype(jnp.int32),
+            ((dense_lo | dense_hi) != 0).astype(jnp.int32)) * real
+
+        # ---- step-flat assembly: carry row + all blocks (both planes)
+        fill = sm[1]
+        step_lo = jnp.concatenate(
+            [carry_lo[:], dense_lo.reshape(G * 33, LANES)], axis=0)  # (R, 128)
+        step_hi = jnp.concatenate(
+            [carry_hi[:], dense_hi.reshape(G * 33, LANES)], axis=0)
+        rows, cols = (jax.lax.broadcasted_iota(jnp.int32, (R, LANES), d) for d in (0, 1))
+        carry_valid = ((rows == 0) & (cols < fill)).astype(jnp.int32)
+        valid = jnp.concatenate(
+            [jnp.zeros((1, LANES), jnp.int32), valid3.reshape(G * 33, LANES)], axis=0)
+        valid = valid | carry_valid
+
+        csum = fv.flat_cumsum(valid)
+        idx = rows * LANES + cols
+        s = jnp.where(valid != 0, idx + 1 - csum, -1)
+        (c_lo, c_hi), _ = fv.compact_flat((step_lo, step_hi), s)
+        stag_lo[:] = c_lo
+        stag_hi[:] = c_hi
+
+        # ---- header entries: offset-after (in u64 words) per block
+        ends = csum[1:].reshape(G, 33, LANES)[:, 32, LANES - 1 :]  # (G, 1)
+        entries = (sm[2] - fill + ends.astype(jnp.int32))
+        entries_row = entries.T
+        pad = jnp.zeros((1, LANES - G), jnp.int32)
+        hdr_row[:] = jnp.concatenate([entries_row, pad], axis=1).astype(jnp.uint32)
+
+        off_row = sm[0]
+        pltpu.make_async_copy(
+            stag_lo.at[:], blo_ref.at[pl.ds(off_row, R)], sem_lo).start()
+        pltpu.make_async_copy(
+            stag_hi.at[:], bhi_ref.at[pl.ds(off_row, R)], sem_hi).start()
+        pltpu.make_async_copy(
+            hdr_row.at[:], hdr_ref.at[pl.ds(step, 1)], sem_hdr).start()
+
+        total_with_fill = csum[R - 1, LANES - 1]
+        n_full = total_with_fill // LANES
+        sm[0] = off_row + n_full
+        sm[1] = total_with_fill % LANES
+        sm[2] = sm[2] + (total_with_fill - fill)
+        carry_lo[:] = stag_lo[pl.ds(n_full, 1), :]
+        carry_hi[:] = stag_hi[pl.ds(n_full, 1), :]
+
+        @pl.when(step == nsteps - 1)
+        def _():
+            pltpu.make_async_copy(
+                stag_lo.at[:], blo_ref.at[pl.ds(0, R)], sem_lo).wait()
+            pltpu.make_async_copy(
+                stag_hi.at[:], bhi_ref.at[pl.ds(0, R)], sem_hi).wait()
+            pltpu.make_async_copy(
+                hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
+
+    return kernel, R
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc):
+    """blocks_{lo,hi}: (nb_pad, 4096) uint32 planes.  Returns (blo2d, bhi2d,
+    hdr2d); blo/bhi hold the stream's u64 words (one plane each) from u64
+    word `hw` onward."""
+    nb_pad = blocks_lo.shape[0]
+    G = G_ENC
+    nsteps = nb_pad // G
+    R = 1 + G * 33
+    hw = fmt.header_words(num_hc, 64)
+    bound_rows = (hw + nb_pad * (64 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
+    kernel, R = _encode_kernel_fp64(dims, num_hc, G, nsteps, hw)
+    blo, bhi, hdr = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec((1, G * 32, LANES), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, G * 32, LANES), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_shape=(jax.ShapeDtypeStruct((bound_rows, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((bound_rows, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((nsteps, LANES), jnp.uint32)),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),   # staging lo
+            pltpu.VMEM((R, LANES), jnp.uint32),   # staging hi
+            pltpu.VMEM((1, LANES), jnp.uint32),   # carry lo
+            pltpu.VMEM((1, LANES), jnp.uint32),   # carry hi
+            pltpu.VMEM((1, LANES), jnp.uint32),   # header row
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=INTERPRET,
+    )(blocks_lo.reshape(nsteps, G * 32, LANES),
+      blocks_hi.reshape(nsteps, G * 32, LANES))
+    return blo, bhi, hdr
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _encode_fp64_device(lo, hi, shape):
+    """Full device encode of an fp64 grid held as (lo, hi) uint32 plane
+    arrays of `shape`.  Returns (stream_padded_u32, length_u32)."""
+    dims = len(shape)
+    num_hc = fmt.num_hypercubes(shape)
+    border_idx = _border_indices(shape)
+    bound = fmt.compressed_bound_u32(shape, 64)
+    hw = fmt.header_words(num_hc, 64)
+    header_u32 = 2 * hw
+
+    def border_vals_u32():
+        bi = jnp.asarray(border_idx)
+        return jnp.stack(
+            [lo.reshape(-1)[bi], hi.reshape(-1)[bi]], axis=-1).reshape(-1)
+
+    if num_hc == 0:
+        out = jnp.zeros(bound, jnp.uint32)
+        if border_idx.size:
+            out = jax.lax.dynamic_update_slice(out, border_vals_u32(), (0,))
+        return out, jnp.int32(2 * border_idx.size)
+
+    b_lo = _gather_blocks_xla(lo, shape)
+    b_hi = _gather_blocks_xla(hi, shape)
+    G = G_ENC
+    nb_pad = (num_hc + G - 1) // G * G
+    if nb_pad != num_hc:
+        z = jnp.zeros((nb_pad - num_hc, fmt.HC_SIZE), jnp.uint32)
+        b_lo = jnp.concatenate([b_lo, z], 0)
+        b_hi = jnp.concatenate([b_hi, z], 0)
+    blo2d, bhi2d, hdr2d = _encode_blocks_fp64(b_lo, b_hi, dims, num_hc)
+
+    header = hdr2d[:, :G].reshape(-1)[:num_hc]
+    body_total = jax.lax.bitcast_convert_type(header[num_hc - 1], jnp.int32)
+
+    # interleave the (lo, hi) planes into the u32 stream
+    out = jnp.stack(
+        [blo2d.reshape(-1), bhi2d.reshape(-1)], axis=-1).reshape(-1)
+    out = jax.lax.dynamic_update_slice(out, header, (0,))
+    if header_u32 > num_hc:  # zero pad entry for odd block counts
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.zeros(header_u32 - num_hc, jnp.uint32), (num_hc,))
+    if border_idx.size:
+        out = jax.lax.dynamic_update_slice(
+            out, border_vals_u32(), (header_u32 + 2 * body_total,))
+    length = header_u32 + 2 * body_total + 2 * border_idx.size
+    out = out[:bound]
+    return out, length
+
+
+# ------------------------------------------------------------- fp64 decode
+
+
+def _decode_kernel_fp64(dims, num_hc, G, nsteps):
+    def kernel(starts_ref, slo_ref, shi_ref, rotidx_ref,
+               out_lo_ref, out_hi_ref, win_lo, win_hi, sem_lo, sem_hi):
+        step = pl.program_id(0)
+
+        for g in range(G):
+            start = starts_ref[step * G + g]
+            pltpu.make_async_copy(
+                slo_ref.at[pl.ds(start // LANES, WIN_ROWS)],
+                win_lo.at[g], sem_lo.at[g]).start()
+            pltpu.make_async_copy(
+                shi_ref.at[pl.ds(start // LANES, WIN_ROWS)],
+                win_hi.at[g], sem_hi.at[g]).start()
+        for g in range(G):
+            pltpu.make_async_copy(
+                slo_ref.at[pl.ds(0, WIN_ROWS)], win_lo.at[g], sem_lo.at[g]).wait()
+            pltpu.make_async_copy(
+                shi_ref.at[pl.ds(0, WIN_ROWS)], win_hi.at[g], sem_hi.at[g]).wait()
+
+        idx = rotidx_ref[0]                          # (G, 128)
+        idx3 = jnp.broadcast_to(idx[:, None, :], (G, WIN_ROWS, LANES))
+
+        def derotate(w):
+            cols = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2)
+            rows34 = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+            a = _gather_lanes(w, idx3)
+            up = pltpu.roll(w, shift=WIN_ROWS - 1, axis=1)
+            up = jnp.where(rows34 < WIN_ROWS - 1, up, 0)
+            b = _gather_lanes(up, idx3)
+            return jnp.where(idx3 >= cols, a, b)[:, :33, :]
+
+        y_lo = derotate(win_lo[:])                   # (G, 33, 128)
+        y_hi = derotate(win_hi[:])
+
+        # present bits: chunk c's u64 head = (hi, lo) planes at lane c of
+        # row 0; word i of a chunk (i = lane % 64) tests bit 63-i of the
+        # u64 head: hi-plane bit 31-i for i < 32, lo-plane bit 63-i above.
+        spread_lo = head_spread64_to_flat(y_lo[:, 0:1, :], G)  # (G, 32, 128)
+        spread_hi = head_spread64_to_flat(y_hi[:, 0:1, :], G)
+        colsb = jax.lax.broadcasted_iota(jnp.int32, spread_lo.shape, 2)
+        i64 = colsb & 63
+        j32 = (colsb & 31).astype(jnp.uint32)
+        plane = jnp.where(i64 < 32, spread_hi, spread_lo)
+        present = ((plane >> (_u32(31) - j32)) & _u32(1)).astype(jnp.int32)
+
+        rows3 = jax.lax.broadcasted_iota(jnp.int32, (G, 33, LANES), 1)
+        cols3 = jax.lax.broadcasted_iota(jnp.int32, (G, 33, LANES), 2)
+        head_valid = ((rows3 == 0) & (cols3 < 64)).astype(jnp.int32)
+        valid = head_valid + jnp.concatenate(
+            [jnp.zeros((G, 1, LANES), jnp.int32), present], axis=1)
+
+        csum = fv.flat_cumsum(valid)
+        flat = rows3 * LANES + cols3
+        s = flat + 1 - csum
+        e_lo, e_hi = fv.expand_flat((y_lo, y_hi), s)
+        e_lo = jnp.where(valid != 0, e_lo, _u32(0))
+        e_hi = jnp.where(valid != 0, e_hi, _u32(0))
+
+        c_lo, c_hi = transpose_bits_lane64_pair(e_lo[:, 1:, :], e_hi[:, 1:, :])
+        x_lo, x_hi = inverse_transform_flat_pair(c_lo, c_hi, dims)
+        out_lo_ref[0] = x_lo.reshape(G, fmt.HC_SIZE)
+        out_hi_ref[0] = x_hi.reshape(G, fmt.HC_SIZE)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _decode_blocks_fp64(slo2d, shi2d, starts, rotidx, dims, num_hc):
+    """slo2d/shi2d: (rows,128) u32 plane views of the padded stream (u64
+    word w at [w//128, w%128]); starts: (nb_pad,) i32 u64-word offsets of
+    each block (incl. header); rotidx: (nsteps, G, 128)."""
+    nb_pad = starts.shape[0]
+    G = G_DEC
+    nsteps = nb_pad // G
+    kernel = _decode_kernel_fp64(dims, num_hc, G, nsteps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, G, LANES), lambda g, starts: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g, starts: (g, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g, starts: (g, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((G, WIN_ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((G, WIN_ROWS, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((G,)),
+            pltpu.SemaphoreType.DMA((G,)),
+        ],
+    )
+    b_lo, b_hi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((nsteps, G, fmt.HC_SIZE), jnp.uint32),
+                   jax.ShapeDtypeStruct((nsteps, G, fmt.HC_SIZE), jnp.uint32)),
+        interpret=INTERPRET,
+    )(starts, slo2d, shi2d, rotidx)
+    return b_lo.reshape(nb_pad, fmt.HC_SIZE), b_hi.reshape(nb_pad, fmt.HC_SIZE)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _decode_fp64_device(stream, shape):
+    """stream: padded u32 stream (>= 2*(bound_u64_rows + WIN_ROWS)*128).
+    Returns (lo, hi) uint32 plane arrays of `shape`."""
+    dims = len(shape)
+    num_hc = fmt.num_hypercubes(shape)
+    border_idx = _border_indices(shape)
+    total = int(np.prod(shape))
+    hw = fmt.header_words(num_hc, 64)
+    header_u32 = 2 * hw
+
+    flat_lo = jnp.zeros(total, jnp.uint32)
+    flat_hi = jnp.zeros(total, jnp.uint32)
+    body_total = jnp.int32(0)  # u64 words
+    if num_hc:
+        G = G_DEC
+        nb_pad = (num_hc + G - 1) // G * G
+        offsets = jax.lax.bitcast_convert_type(stream[:num_hc], jnp.int32)
+        starts_blocks = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets[:-1]])
+        body_total = offsets[num_hc - 1]
+        if nb_pad != num_hc:
+            starts_blocks = jnp.concatenate(
+                [starts_blocks,
+                 jnp.broadcast_to(starts_blocks[num_hc - 1], (nb_pad - num_hc,))])
+        starts = hw + starts_blocks  # u64-word offsets incl. header
+        rot = (starts % LANES).astype(jnp.int32)
+        col = jnp.arange(LANES, dtype=jnp.int32)
+        rotidx = (col[None, :] + rot[:, None]) % LANES
+        rotidx = rotidx.reshape(nb_pad // G, G, LANES)
+
+        pairs = stream[: stream.shape[0] // (2 * LANES) * (2 * LANES)].reshape(-1, 2)
+        rows = pairs.shape[0] // LANES
+        slo2d = pairs[: rows * LANES, 0].reshape(rows, LANES)
+        shi2d = pairs[: rows * LANES, 1].reshape(rows, LANES)
+        b_lo, b_hi = _decode_blocks_fp64(slo2d, shi2d, starts, rotidx, dims, num_hc)
+        flat_lo = _scatter_blocks_xla(b_lo[:num_hc], shape, flat_lo)
+        flat_hi = _scatter_blocks_xla(b_hi[:num_hc], shape, flat_hi)
+
+    if border_idx.size:
+        border_vals = jax.lax.dynamic_slice(
+            stream, (header_u32 + 2 * body_total,), (2 * border_idx.size,))
+        pairs_b = border_vals.reshape(-1, 2)
+        bi = jnp.asarray(border_idx)
+        flat_lo = flat_lo.at[bi].set(pairs_b[:, 0])
+        flat_hi = flat_hi.at[bi].set(pairs_b[:, 1])
+    return flat_lo.reshape(shape), flat_hi.reshape(shape)
+
+
+# =====================================================================
 # host-level assembly (XLA glue around the kernels)
 # =====================================================================
 
@@ -502,14 +945,13 @@ def _decode_fp32_device(stream, shape):
 
 
 # =====================================================================
-# host API (numpy in/out) — fp64 currently routed to the XLA codec until
-# the pair-plane Pallas kernels land
+# host API (numpy in/out)
 # =====================================================================
 
 
 def _pad_for_decode(stream: np.ndarray, shape, wb: int) -> np.ndarray:
     bound = fmt.compressed_bound_u32(tuple(shape), wb)
-    padded = np.zeros(bound + WIN_ROWS * LANES, dtype=np.uint32)
+    padded = np.zeros(bound + (wb // 32) * WIN_ROWS * LANES, dtype=np.uint32)
     padded[: stream.size] = stream
     return padded
 
@@ -519,9 +961,13 @@ def compress(data: np.ndarray) -> tuple[np.ndarray, int]:
     fmt.validate_shape(data.shape)
     wb = fmt.word_bits_for_dtype(data.dtype)
     if wb == 64:
-        from . import codec_xla
+        from .ops import u64pair
 
-        return codec_xla.compress(data)
+        lo, hi = u64pair.split(data.view(np.uint64))
+        padded, length = _encode_fp64_device(
+            jnp.asarray(lo), jnp.asarray(hi), data.shape)
+        length = int(length)
+        return np.asarray(padded[:length]), length // 2
     words = jnp.asarray(data.view(np.uint32))
     padded, length = _encode_fp32_device(words, data.shape)
     length = int(length)
@@ -533,10 +979,11 @@ def decompress(stream: np.ndarray, shape, dtype) -> np.ndarray:
     fmt.validate_shape(shape)
     dtype = np.dtype(dtype)
     wb = fmt.word_bits_for_dtype(dtype)
+    padded = _pad_for_decode(np.asarray(stream), shape, wb)
     if wb == 64:
-        from . import codec_xla
+        from .ops import u64pair
 
-        return codec_xla.decompress(stream, shape, dtype)
-    padded = _pad_for_decode(np.asarray(stream), shape, 32)
+        lo, hi = _decode_fp64_device(jnp.asarray(padded), shape)
+        return u64pair.join(np.asarray(lo), np.asarray(hi)).view(dtype)
     words = _decode_fp32_device(jnp.asarray(padded), shape)
     return np.asarray(words).view(dtype)

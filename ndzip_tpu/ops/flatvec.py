@@ -149,6 +149,40 @@ def segmented_diff_flat(x, stride: int, seg: int):
     return jnp.where(first, x, x - shifted)
 
 
+def segmented_diff_flat_pair(lo, hi, stride: int, seg: int):
+    """64-bit segmented_diff_flat over (lo, hi) uint32 planes (wrapping
+    subtraction with borrow; the TPU has no 64-bit integers)."""
+    rows, cols = _row_col(lo.shape)
+    flat = rows * LANES + cols
+    s_lo = shift_flat_right(lo, stride)
+    s_hi = shift_flat_right(hi, stride)
+    d_lo = lo - s_lo
+    borrow = (lo < s_lo).astype(lo.dtype)
+    d_hi = hi - s_hi - borrow
+    first = (flat & (seg - 1)) // stride == 0
+    return jnp.where(first, lo, d_lo), jnp.where(first, hi, d_hi)
+
+
+def segmented_cumsum_flat_pair(lo, hi, stride: int, seg: int):
+    """64-bit segmented_cumsum_flat over (lo, hi) uint32 planes (log-depth
+    scan with wrapping 64-bit adds)."""
+    rows, cols = _row_col(lo.shape)
+    flat = rows * LANES + cols
+    n = seg // stride
+    k = 1
+    while k < n:
+        s_lo = shift_flat_right(lo, k * stride)
+        s_hi = shift_flat_right(hi, k * stride)
+        a_lo = lo + s_lo
+        carry = (a_lo < lo).astype(lo.dtype)
+        a_hi = hi + s_hi + carry
+        ok = (flat & (seg - 1)) // stride >= k
+        lo = jnp.where(ok, a_lo, lo)
+        hi = jnp.where(ok, a_hi, hi)
+        k <<= 1
+    return lo, hi
+
+
 def compact_flat(values, s):
     """Monotone left-compaction butterfly.
 

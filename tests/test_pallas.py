@@ -53,9 +53,43 @@ def test_pallas_all_zero_blocks():
     assert np.array_equal(out, data)
 
 
-def test_pallas_fp64_falls_back():
-    # fp64 currently routes to the XLA codec — still bit-exact
-    data = RNG.standard_normal(4097)
+SHAPES64 = [
+    ((4096 * 8,), "1d"),
+    ((4096 * 3 + 1,), "1d border, odd block count"),
+    ((128, 70), "2d border"),
+    ((16, 32, 32), "3d"),
+]
+
+
+def make_data64(shape):
+    data = RNG.standard_normal(shape)
+    flat = data.reshape(-1)
+    flat[:200] = 0
+    flat[300:340] = flat[299]
+    return data
+
+
+@pytest.mark.parametrize("shape,label", SHAPES64)
+def test_pallas_fp64_encode_matches_golden(shape, label):
+    data = make_data64(shape)
+    g, gl = golden.compress(data)
+    s, l = codec_pallas.compress(data)
+    assert l == gl
+    assert s.tobytes() == g.tobytes()
+
+
+@pytest.mark.parametrize("shape,label", SHAPES64)
+def test_pallas_fp64_decodes_golden(shape, label):
+    data = make_data64(shape)
+    g, _ = golden.compress(data)
+    out = codec_pallas.decompress(g, shape, np.float64)
+    assert np.array_equal(out.view(np.uint64), data.view(np.uint64))
+
+
+def test_pallas_fp64_all_zero_blocks():
+    data = np.zeros((4096 * 8,), np.float64)
     g, gl = golden.compress(data)
     s, l = codec_pallas.compress(data)
     assert l == gl and s.tobytes() == g.tobytes()
+    out = codec_pallas.decompress(s, data.shape, np.float64)
+    assert np.array_equal(out, data)
