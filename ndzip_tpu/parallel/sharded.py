@@ -80,7 +80,7 @@ def _local_encode_parts(words_local, local_shape, dims, wb):
         dest = 2 * jnp.repeat(dest, 2) + jnp.tile(
             jnp.arange(2, dtype=jnp.int32), dest.shape[0])
         fvalid = jnp.repeat(fvalid, 2)
-        flat = dense  # already interleaved by caller
+        flat = dense.reshape(-1)  # (lo, hi) pairs interleaved by the caller
     dest = jnp.where(fvalid, dest, bound_u32)
     body = jnp.zeros(bound_u32, jnp.uint32).at[dest].set(
         flat, mode="drop", unique_indices=True)

@@ -1,0 +1,84 @@
+"""Observability and configuration utilities.
+
+The reference gates diagnostic output behind the ``NDZIP_VERBOSE`` env var
+(common.hh:630-633) and threads per-kernel timings through SYCL profiling
+events (sycl_bits.hh:38-55) / CUDA events (cuda_bits.cuh:252-259).  The
+TPU-native equivalents:
+
+* ``verbose()`` — ``NDZIP_TPU_VERBOSE`` env gate, cached at first call.
+* ``log(...)`` — stderr logger active only under verbose.
+* ``trace(label)`` — context manager that both annotates the JAX profiler
+  trace (visible in TensorBoard/Perfetto captures) and, under verbose,
+  prints ``[profile] <label> <ms>`` wall timings like the reference's
+  ``submit_and_profile``.
+* ``device_time_ns(fn, *args)`` — device-only duration of a jitted
+  callable, measured by block_until_ready fencing (the host-side analog of
+  ``kernel_duration``; see bench.py for the chained-loop variant that
+  amortizes host sync overhead).
+* ``profiler_trace(dir)`` — capture a full XLA profiler trace for offline
+  analysis (the deep-dive analog of the reference's NDZIP_VERBOSE kernel
+  dumps).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import os
+import sys
+import time
+
+
+@functools.lru_cache(maxsize=1)
+def verbose() -> bool:
+    """common.hh:630-633 — cached env-var gate."""
+    v = os.environ.get("NDZIP_TPU_VERBOSE", "")
+    return v not in ("", "0", "false", "no")
+
+
+def log(*args):
+    if verbose():
+        print("[ndzip-tpu]", *args, file=sys.stderr)
+
+
+@contextlib.contextmanager
+def trace(label: str):
+    """Annotate the JAX profiler trace and print wall time under verbose
+    (the analog of submit_and_profile, sycl_bits.hh:46-55)."""
+    try:
+        import jax.profiler
+
+        ctx = jax.profiler.TraceAnnotation(label)
+    except Exception:  # profiler unavailable (e.g. no jax)
+        ctx = contextlib.nullcontext()
+    t0 = time.perf_counter()
+    with ctx:
+        yield
+    if verbose():
+        ms = (time.perf_counter() - t0) * 1e3
+        print(f"[profile] {label} {ms:.3f} ms", file=sys.stderr)
+
+
+def device_time_ns(fn, *args) -> int:
+    """Wall duration of fn(*args) fenced by block_until_ready on inputs and
+    outputs — device time plus one dispatch, the per-call analog of the
+    offloader's kernel_duration out-param (ndzip.hh:271)."""
+    import jax
+
+    jax.block_until_ready(args)
+    t0 = time.perf_counter_ns()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter_ns() - t0
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: str):
+    """Capture an XLA profiler trace (TensorBoard format) around a region."""
+    import jax.profiler
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

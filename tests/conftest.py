@@ -2,9 +2,15 @@ import os
 
 # Tests always run on a virtual 8-device CPU mesh so sharding paths are
 # exercised without TPU hardware (and without tying up the TPU tunnel).
-# Must be set before jax is imported anywhere; the environment may preset
-# JAX_PLATFORMS (e.g. to the axon TPU), so override unconditionally.
+#
+# Pitfall (this image): the axon TPU plugin overrides the JAX_PLATFORMS
+# environment variable during plugin registration, so the env var alone is
+# NOT enough — the platform must be re-pinned via jax.config after import.
+# The env vars are still set first for any subprocesses tests spawn.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_NUM_CPU_DEVICES"] = "8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
