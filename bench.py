@@ -10,9 +10,10 @@ vs_baseline compares against BASELINE.json's north-star per-chip share:
 
 Timing methodology: device-only time, measured by chaining N invocations
 inside one jitted fori_loop (each iteration's input depends on the loop
-index so XLA cannot hoist or CSE the codec call), syncing once, and
-dividing by N.  This excludes host<->device transfer and host sync
-overhead — the analog of the reference's CUDA-event kernel timing
+index so XLA cannot hoist or CSE the codec call) and syncing once.  Two
+chain lengths (R1, R2) are timed and the per-rep device time is the slope
+(t2 - t1) / (R2 - R1), which cancels the fixed host-sync cost exactly —
+the analog of the reference's CUDA-event kernel timing
 (/root/reference/src/benchmark/benchmark.cc:331-341; on this setup a
 single host sync costs 30-60 ms of tunnel round-trip, which would swamp
 the kernels).  Correctness (bit-exact round-trip) is asserted on every
@@ -26,7 +27,7 @@ import time
 import numpy as np
 
 PER_CHIP_BASELINE_GBPS = 100.0 / 16.0  # north star / v5e-16 chips
-REPS = 10
+R1, R2 = 10, 50
 
 
 def main():
@@ -69,36 +70,44 @@ def main():
     assert g_len == length and host_stream[:length].tobytes() == g_stream.tobytes(), \
         "stream does not match the reference-format oracle"
 
-    # --- amortized device timing ---
-    @jax.jit
-    def enc_loop(w):
-        def body(i, acc):
-            p, ln = enc(w ^ i.astype(jnp.uint32))
-            return acc + ln + jax.lax.bitcast_convert_type(p[0], jnp.int32)
-        return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
+    # --- two-point chained device timing ---
+    def make_enc_loop(reps):
+        @jax.jit
+        def enc_loop(w):
+            def body(i, acc):
+                p, ln = enc(w ^ i.astype(jnp.uint32))
+                return acc + ln + jax.lax.bitcast_convert_type(p[0], jnp.int32)
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+        return enc_loop
 
-    @jax.jit
-    def dec_loop(s):
-        def body(i, carry):
-            s_, acc = carry
-            # touch the padding tail so the input differs every iteration
-            s_ = jax.lax.dynamic_update_slice(
-                s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
-            w = dec(s_)
-            return s_, acc + jax.lax.bitcast_convert_type(
-                w.reshape(-1)[0], jnp.int32)
-        _, acc = jax.lax.fori_loop(0, REPS, body, (s, jnp.int32(0)))
-        return acc
+    def make_dec_loop(reps):
+        @jax.jit
+        def dec_loop(s):
+            def body(i, carry):
+                s_, acc = carry
+                # touch the padding tail so the input differs every iteration
+                s_ = jax.lax.dynamic_update_slice(
+                    s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
+                w = dec(s_)
+                return s_, acc + jax.lax.bitcast_convert_type(
+                    w.reshape(-1)[0], jnp.int32)
+            _, acc = jax.lax.fori_loop(0, reps, body, (s, jnp.int32(0)))
+            return acc
+        return dec_loop
 
-    int(enc_loop(words))  # warm-up / compile
-    t0 = time.perf_counter()
-    int(enc_loop(words))
-    t_enc = (time.perf_counter() - t0) / REPS
+    def timed(loop, arg):
+        int(loop(arg))  # warm-up / compile
+        t0 = time.perf_counter()
+        int(loop(arg))
+        return time.perf_counter() - t0
 
-    int(dec_loop(stream_dev))
-    t0 = time.perf_counter()
-    int(dec_loop(stream_dev))
-    t_dec = (time.perf_counter() - t0) / REPS
+    t_enc1 = timed(make_enc_loop(R1), words)
+    t_enc2 = timed(make_enc_loop(R2), words)
+    t_enc = (t_enc2 - t_enc1) / (R2 - R1)
+
+    t_dec1 = timed(make_dec_loop(R1), stream_dev)
+    t_dec2 = timed(make_dec_loop(R2), stream_dev)
+    t_dec = (t_dec2 - t_dec1) / (R2 - R1)
 
     dec_gbps = nbytes / t_dec / 1e9
     enc_gbps = nbytes / t_enc / 1e9
@@ -112,7 +121,7 @@ def main():
             "compress_gbps": round(enc_gbps, 3),
             "ratio": round(length * 4 / nbytes, 4),
             "backend": backend,
-            "reps": REPS,
+            "reps": [R1, R2],
             "device": str(jax.devices()[0]),
         },
     }

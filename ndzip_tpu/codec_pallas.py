@@ -173,7 +173,10 @@ def inverse_transform_flat(xf, dims):
 # =====================================================================
 
 
-def _encode_kernel_fp32(dims, num_hc, G, nsteps):
+def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word):
+    """start_word: stream word offset where the first body word lands
+    (= num_hc for a full single-stream encode where the header precedes the
+    bodies; 0 for per-shard body-only encodes)."""
     R = 1 + G * 33  # carry row + G blocks of (1 head row + 32 body rows)
 
     def kernel(blocks_ref, body_ref, hdr_ref, staging, carry_row, hdr_row,
@@ -182,8 +185,8 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps):
 
         @pl.when(step == 0)
         def _():
-            sm[0] = num_hc // LANES      # current output row base
-            sm[1] = num_hc % LANES       # fill level of the partial row
+            sm[0] = start_word // LANES  # current output row base
+            sm[1] = start_word % LANES   # fill level of the partial row
             sm[2] = 0                    # total body words emitted
             carry_row[:] = jnp.zeros((1, LANES), jnp.uint32)
 
@@ -260,17 +263,20 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps):
     return kernel, R
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _encode_blocks_fp32(blocks, dims, num_hc):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _encode_blocks_fp32(blocks, dims, num_hc, start_word=None):
     """blocks: (nb_pad, 4096) uint32 (padded to a multiple of G_ENC).
-    Returns (body2d (rows,128) u32 with stream words from word `num_hc`
-    onward, hdr2d (nsteps,128) u32 with G_ENC entries per row)."""
+    Returns (body2d (rows,128) u32 with stream words from word `start_word`
+    (default num_hc) onward, hdr2d (nsteps,128) u32 with G_ENC entries per
+    row)."""
+    if start_word is None:
+        start_word = num_hc
     nb_pad = blocks.shape[0]
     G = G_ENC
     nsteps = nb_pad // G
     R = 1 + G * 33
-    bound_rows = (num_hc + nb_pad * (128 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
-    kernel, R = _encode_kernel_fp32(dims, num_hc, G, nsteps)
+    bound_rows = (start_word + nb_pad * (128 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
+    kernel, R = _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word)
     body, hdr = pl.pallas_call(
         kernel,
         grid=(nsteps,),
@@ -582,16 +588,16 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw):
     return kernel, R
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None):
     """blocks_{lo,hi}: (nb_pad, 4096) uint32 planes.  Returns (blo2d, bhi2d,
     hdr2d); blo/bhi hold the stream's u64 words (one plane each) from u64
-    word `hw` onward."""
+    word `start_word` (default: the header length) onward."""
     nb_pad = blocks_lo.shape[0]
     G = G_ENC
     nsteps = nb_pad // G
     R = 1 + G * 33
-    hw = fmt.header_words(num_hc, 64)
+    hw = fmt.header_words(num_hc, 64) if start_word is None else start_word
     bound_rows = (hw + nb_pad * (64 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
     kernel, R = _encode_kernel_fp64(dims, num_hc, G, nsteps, hw)
     blo, bhi, hdr = pl.pallas_call(

@@ -100,22 +100,21 @@ def lane_cumsum(x):
 
 
 def flat_cumsum(x):
-    """Inclusive cumsum over the flat (R*128) order."""
+    """Inclusive cumsum over the flat (R*128) order.
+
+    The row-offset scan runs at FULL lane width (the row total broadcast to
+    every lane) rather than on an (R, 1) column — thin columns waste 127/128
+    of the VPU and measured ~7x slower than the full-width rounds."""
     R = x.shape[-2]
     rows, _ = _row_col(x.shape)
     lx = lane_cumsum(x)
-    tot = lx[..., :, LANES - 1 : LANES]  # (..., R, 1) row totals
-    # inclusive scan of row totals along sublanes, then shift to exclusive
-    inc = tot
+    inc = jnp.broadcast_to(lx[..., :, LANES - 1 : LANES], lx.shape)
     k = 1
     while k < R:
-        trow = jax.lax.broadcasted_iota(jnp.int32, inc.shape, len(inc.shape) - 2)
         rolled = _roll(inc, k, len(inc.shape) - 2)
-        inc = jnp.where(trow >= k, inc + rolled, inc)
+        inc = jnp.where(rows >= k, inc + rolled, inc)
         k <<= 1
-    excl = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, inc.shape, len(inc.shape) - 2) >= 1,
-        _roll(inc, 1, len(inc.shape) - 2), 0)
+    excl = jnp.where(rows >= 1, _roll(inc, 1, len(inc.shape) - 2), 0)
     return lx + excl
 
 

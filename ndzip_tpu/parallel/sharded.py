@@ -53,11 +53,25 @@ def _shard_grid(shape, n_shards):
     return per_shard
 
 
+def _use_pallas() -> bool:
+    """Per-shard kernels: fused Pallas on TPU, XLA elsewhere (including the
+    virtual CPU meshes used in tests and multi-chip dry runs)."""
+    import jax
+
+    from .. import codec_pallas
+
+    return (jax.default_backend() in ("tpu", "axon")
+            and not codec_pallas.INTERPRET)
+
+
 def _local_encode_parts(words_local, local_shape, dims, wb):
     """Encode one shard's blocks; returns (entries u32 (local_hc,),
     body_padded u32, body_len i32).  Body contains only hypercube bodies
     (no header, no border)."""
     from .. import codec_xla
+
+    if _use_pallas():
+        return _local_encode_parts_pallas(words_local, local_shape, dims, wb)
 
     local_hc = fmt.num_hypercubes(local_shape)
     if wb == 32:
@@ -85,6 +99,47 @@ def _local_encode_parts(words_local, local_shape, dims, wb):
     body = jnp.zeros(bound_u32, jnp.uint32).at[dest].set(
         flat, mode="drop", unique_indices=True)
     return offsets_after.astype(jnp.uint32), body, body_len * (wb // 32)
+
+
+def _local_encode_parts_pallas(words_local, local_shape, dims, wb):
+    """Pallas fast path of _local_encode_parts: the fused single-pass
+    encode kernel with start_word=0 emits exactly the body span this shard
+    contributes to the global stream (plus per-block offset entries)."""
+    from .. import codec_pallas, codec_xla
+
+    local_hc = fmt.num_hypercubes(local_shape)
+    G = codec_pallas.G_ENC
+    nb_pad = (local_hc + G - 1) // G * G
+    bound = local_hc * fmt.Profile(wb, dims).compressed_block_length_bound
+    bound_u32 = bound * (wb // 32)
+
+    def pad(blocks):
+        if nb_pad == local_hc:
+            return blocks
+        return jnp.concatenate(
+            [blocks, jnp.zeros((nb_pad - local_hc, fmt.HC_SIZE), jnp.uint32)], 0)
+
+    if wb == 32:
+        blocks = pad(codec_xla._gather_blocks(words_local, local_shape))
+        body2d, hdr2d = codec_pallas._encode_blocks_fp32(
+            blocks, dims, local_hc, 0)
+        entries = hdr2d[:, :G].reshape(-1)[:local_hc]
+        body = body2d.reshape(-1)
+        body = body[:bound_u32] if body.shape[0] >= bound_u32 else jnp.pad(
+            body, (0, bound_u32 - body.shape[0]))
+        blen_u32 = jax.lax.bitcast_convert_type(entries[local_hc - 1], jnp.int32)
+        return entries, body, blen_u32
+    lo, hi = words_local
+    b_lo = pad(codec_xla._gather_blocks(lo, local_shape))
+    b_hi = pad(codec_xla._gather_blocks(hi, local_shape))
+    blo2d, bhi2d, hdr2d = codec_pallas._encode_blocks_fp64(
+        b_lo, b_hi, dims, local_hc, 0)
+    entries = hdr2d[:, :G].reshape(-1)[:local_hc]
+    body = jnp.stack([blo2d.reshape(-1), bhi2d.reshape(-1)], axis=-1).reshape(-1)
+    body = body[:bound_u32] if body.shape[0] >= bound_u32 else jnp.pad(
+        body, (0, bound_u32 - body.shape[0]))
+    blen_u32 = 2 * jax.lax.bitcast_convert_type(entries[local_hc - 1], jnp.int32)
+    return entries, body, blen_u32
 
 
 def _encode_blocks_xla32(blocks, dims):
@@ -130,7 +185,7 @@ def compress_sharded(data, mesh: Mesh):
     """Compress a numpy/JAX array block-parallel over ``mesh``; returns
     (stream uint32 np.ndarray, length_words).  Bit-identical to the serial
     stream."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     data = np.ascontiguousarray(data) if isinstance(data, np.ndarray) else data
     shape = tuple(data.shape)
@@ -172,7 +227,8 @@ def compress_sharded(data, mesh: Mesh):
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(tuple(P(axis) for _ in host_words),),
-        out_specs=(P(axis), P(axis), P(axis)))
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False)  # pallas_call outputs carry no vma annotation
 
     sharded_in = tuple(
         jax.device_put(w, NamedSharding(mesh, P(axis))) for w in host_words)
@@ -205,7 +261,7 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
     """Block-parallel decode: each shard random-accesses its block range via
     the offset table and decodes locally; output is resharded to the array.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from .. import codec_xla
 
     shape = tuple(shape)
@@ -221,9 +277,13 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
     rows_per_shard = grid[0] // n * side
     local_shape = (rows_per_shard,) + tuple(g * side for g in grid[1:])
 
+    from .. import codec_pallas
+
+    use_pallas = _use_pallas()
     stream = np.asarray(stream)
     bound = fmt.compressed_bound_u32(shape, wb)
-    padded = np.zeros(bound, np.uint32)
+    pad_extra = (wb // 32) * codec_pallas.WIN_ROWS * 128 if use_pallas else 0
+    padded = np.zeros(bound + pad_extra, np.uint32)
     padded[: stream.size] = stream
 
     header_u32 = fmt.header_u32_words(num_hc, wb)
@@ -232,23 +292,53 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
 
     heads_n = fmt.HC_SIZE // wb
     win = heads_n + fmt.HC_SIZE  # words per window
+    local_hc = per_shard
+    G = codec_pallas.G_DEC
+    nb_pad = (local_hc + G - 1) // G * G
+
+    def _pallas_starts(starts_abs):
+        if nb_pad != local_hc:
+            starts_abs = jnp.concatenate(
+                [starts_abs,
+                 jnp.broadcast_to(starts_abs[local_hc - 1], (nb_pad - local_hc,))])
+        rot = (starts_abs % 128).astype(jnp.int32)
+        col = jnp.arange(128, dtype=jnp.int32)
+        rotidx = ((col[None, :] + rot[:, None]) % 128).reshape(nb_pad // G, G, 128)
+        return starts_abs, rotidx
 
     def shard_fn(stream_rep, starts_local):
         # gather each local block's window and decode
         if wb == 32:
-            idx = header_u32 + starts_local[:, None] + jnp.arange(win, dtype=jnp.int32)
-            idx = jnp.minimum(idx, bound - 1)
-            windows = stream_rep[idx]
-            blocks = _decode_windows_xla32(windows, dims)
+            if use_pallas:
+                starts_abs, rotidx = _pallas_starts(header_u32 + starts_local)
+                rows = stream_rep.shape[0] // 128
+                stream2d = stream_rep[: rows * 128].reshape(rows, 128)
+                blocks = codec_pallas._decode_blocks_fp32(
+                    stream2d, starts_abs, rotidx, dims, local_hc)[:local_hc]
+            else:
+                idx = header_u32 + starts_local[:, None] + jnp.arange(win, dtype=jnp.int32)
+                idx = jnp.minimum(idx, bound - 1)
+                windows = stream_rep[idx]
+                blocks = _decode_windows_xla32(windows, dims)
             words = codec_xla._scatter_blocks(
                 blocks, local_shape, jnp.zeros(int(np.prod(local_shape)), jnp.uint32))
             return words.reshape(local_shape)
         else:
-            widx = starts_local[:, None] + jnp.arange(win, dtype=jnp.int32)
-            lo_idx = jnp.minimum(header_u32 + 2 * widx, bound - 1)
-            win_lo = stream_rep[lo_idx]
-            win_hi = stream_rep[jnp.minimum(lo_idx + 1, bound - 1)]
-            b_lo, b_hi = _decode_windows_xla64(win_lo, win_hi, dims)
+            if use_pallas:
+                pairs = stream_rep[: stream_rep.shape[0] // 256 * 256].reshape(-1, 2)
+                rows = pairs.shape[0] // 128
+                slo2d = pairs[: rows * 128, 0].reshape(rows, 128)
+                shi2d = pairs[: rows * 128, 1].reshape(rows, 128)
+                starts_abs, rotidx = _pallas_starts(header_u32 // 2 + starts_local)
+                b_lo, b_hi = codec_pallas._decode_blocks_fp64(
+                    slo2d, shi2d, starts_abs, rotidx, dims, local_hc)
+                b_lo, b_hi = b_lo[:local_hc], b_hi[:local_hc]
+            else:
+                widx = starts_local[:, None] + jnp.arange(win, dtype=jnp.int32)
+                lo_idx = jnp.minimum(header_u32 + 2 * widx, bound - 1)
+                win_lo = stream_rep[lo_idx]
+                win_hi = stream_rep[jnp.minimum(lo_idx + 1, bound - 1)]
+                b_lo, b_hi = _decode_windows_xla64(win_lo, win_hi, dims)
             z = jnp.zeros(int(np.prod(local_shape)), jnp.uint32)
             lo = codec_xla._scatter_blocks(b_lo, local_shape, z)
             hi = codec_xla._scatter_blocks(b_hi, local_shape, z)
@@ -257,7 +347,8 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(axis)),
-        out_specs=P(axis))
+        out_specs=P(axis),
+        check_vma=False)  # pallas_call outputs carry no vma annotation
     out_local = jax.jit(mapped)(jnp.asarray(padded), jnp.asarray(starts))
 
     # assemble on host: interior + border

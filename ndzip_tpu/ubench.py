@@ -2,9 +2,10 @@
 microbench suite (src/sycl_ubench/: scan variants, block load, forward/
 inverse transform, chunk transpose, compaction, decode).
 
-Each stage is timed device-only by chaining CHAIN invocations inside one
-jitted fori_loop (inputs perturbed per iteration so XLA cannot hoist the
-computation), syncing once and dividing — the analog of the reference's
+Each stage is timed device-only by chaining invocations inside one jitted
+fori_loop (inputs perturbed per iteration so XLA cannot hoist the
+computation) at two chain lengths; the per-rep time is the slope, which
+cancels the fixed host-sync cost — the analog of the reference's
 SYCL-profiling-event timing (ubench.hh:15-55).
 
 Usage:  python -m ndzip_tpu.ubench [--mb 64] [--dims 1] [--stages a b c]
@@ -22,35 +23,41 @@ import numpy as np
 
 from . import format as fmt
 
-CHAIN = 10
+CHAIN = (10, 50)
 
 
 def _timed_loop(make_loop, *args) -> float:
-    """Compile + warm, then time one chained execution; returns s/rep."""
-    loop = make_loop()
-    int(loop(*args))  # compile + warm-up
-    t0 = time.perf_counter()
-    int(loop(*args))
-    return (time.perf_counter() - t0) / CHAIN
+    """Time chained executions at two chain lengths; the slope is the pure
+    per-rep device time (fixed sync cost cancels)."""
+    times = []
+    for reps in CHAIN:
+        loop = make_loop(reps)
+        int(loop(*args))  # compile + warm-up
+        t0 = time.perf_counter()
+        int(loop(*args))
+        times.append(time.perf_counter() - t0)
+    return (times[1] - times[0]) / (CHAIN[1] - CHAIN[0])
 
 
 def _chain_u32(fn):
-    """Build a jitted loop chaining fn over a tuple of uint32 arrays; fn
-    must return something reducible to a scalar via first element."""
+    """Build a jitted-loop factory chaining fn over uint32 arrays; fn must
+    return something reducible to a scalar via first element."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def loop(*arrs):
-        def body(i, acc):
-            perturbed = tuple(a ^ i.astype(jnp.uint32) for a in arrs)
-            out = fn(*perturbed)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return acc + jax.lax.bitcast_convert_type(
-                leaf.reshape(-1)[0], jnp.int32)
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.int32(0))
+    def make(reps):
+        @jax.jit
+        def loop(*arrs):
+            def body(i, acc):
+                perturbed = tuple(a ^ i.astype(jnp.uint32) for a in arrs)
+                out = fn(*perturbed)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return acc + jax.lax.bitcast_convert_type(
+                    leaf.reshape(-1)[0], jnp.int32)
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+        return loop
 
-    return loop
+    return make
 
 
 def stage_benchmarks(shape, dims):
@@ -78,26 +85,26 @@ def stage_benchmarks(shape, dims):
     # -------- XLA stages (also run inside the Pallas kernel, but these
     # isolate them the way sycl_codec_ubench.inl:34-198 does)
     yield ("gather_blocks(xla)", nbytes,
-           lambda: _timed_loop(lambda: _chain_u32(
+           lambda: _timed_loop(_chain_u32(
                lambda w: codec_xla._gather_blocks(w.reshape(shape), shape)), words.reshape(-1)))
     yield ("forward_transform(xla)", blk_bytes,
-           lambda: _timed_loop(lambda: _chain_u32(
+           lambda: _timed_loop(_chain_u32(
                lambda b: codec_xla.block_transform_u32(b, dims)), blocks))
     yield ("inverse_transform(xla)", blk_bytes,
-           lambda: _timed_loop(lambda: _chain_u32(
+           lambda: _timed_loop(_chain_u32(
                lambda b: codec_xla.inverse_block_transform_u32(b, dims)), blocks))
     yield ("bit_transpose(xla)", blk_bytes,
-           lambda: _timed_loop(lambda: _chain_u32(
+           lambda: _timed_loop(_chain_u32(
                lambda b: codec_xla.bitops.transpose_bits(
                    b.reshape(-1, fmt.HC_SIZE // 32, 32), jnp)), blocks))
     yield ("scatter_blocks(xla)", nbytes,
-           lambda: _timed_loop(lambda: _chain_u32(
+           lambda: _timed_loop(_chain_u32(
                lambda b: codec_xla._scatter_blocks(
                    b[:num_hc], shape, jnp.zeros(n, jnp.uint32))), blocks))
 
     # -------- Pallas kernels (the fused paths)
     yield ("encode_kernel(pallas)", nbytes,
-           lambda: _timed_loop(lambda: _chain_u32(
+           lambda: _timed_loop(_chain_u32(
                lambda b: codec_pallas._encode_blocks_fp32(b, dims, num_hc)), blocks))
 
     padded, length = codec_pallas._encode_fp32_device(words, shape)
@@ -107,11 +114,11 @@ def stage_benchmarks(shape, dims):
     stream_host[: int(length)] = np.asarray(padded[: int(length)])
     stream = jnp.asarray(stream_host)
     yield ("decode_device(pallas)", nbytes,
-           lambda: _timed_loop(lambda: _chain_u32(
+           lambda: _timed_loop(_chain_u32(
                lambda s: codec_pallas._decode_fp32_device(s, shape)), stream))
 
     yield ("encode_device(pallas e2e)", nbytes,
-           lambda: _timed_loop(lambda: _chain_u32(
+           lambda: _timed_loop(_chain_u32(
                lambda w: codec_pallas._encode_fp32_device(w.reshape(shape), shape)),
                words.reshape(-1)))
 
