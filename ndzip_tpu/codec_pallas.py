@@ -488,15 +488,51 @@ def head_spread64_to_flat(head_row, G):
     return _gather_lanes(b, idx)
 
 
+def interleave_planes_rows(lo, hi):
+    """(R, 128) u64-word planes -> (2R, 128) u32 rows in stream layout
+    (u32 index 2w+p of u64 word w): out[2r, l] = plane_{l&1}[r, l>>1],
+    out[2r+1, l] = plane_{l&1}[r, 64 + (l>>1)].
+
+    The (N, 2) minor-dim interleave is pathological for XLA on TPU (a
+    measured ~13 ms for 68 MB); as four in-kernel lane gathers it is a
+    couple of full-width passes."""
+    R = lo.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1)
+    par = (cols & 1) == 1
+    j = cols >> 1
+    even = jnp.where(par, jnp.take_along_axis(hi, j, axis=1),
+                     jnp.take_along_axis(lo, j, axis=1))
+    j_o = j + 64
+    odd = jnp.where(par, jnp.take_along_axis(hi, j_o, axis=1),
+                    jnp.take_along_axis(lo, j_o, axis=1))
+    return jnp.stack([even, odd], axis=1).reshape(2 * R, LANES)
+
+
+def deinterleave_window_rows(win32):
+    """(G, 2W, 128) u32 stream rows -> ((G, W, 128) lo, (G, W, 128) hi)
+    u64-word planes (inverse of interleave_planes_rows)."""
+    Gd, W2, _ = win32.shape
+    W = W2 // 2
+    wr = win32.reshape(Gd, W, 2, LANES)
+    we = wr[:, :, 0, :]
+    wo = wr[:, :, 1, :]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Gd, W, LANES), 2)
+    j2 = (cols << 1) & (LANES - 1)   # lane of the lo half of word `col`
+    first = cols < 64                # words 0..63 sit in the even u32 row
+    lo = jnp.where(first, _gather_lanes(we, j2), _gather_lanes(wo, j2))
+    hi = jnp.where(first, _gather_lanes(we, j2 + 1), _gather_lanes(wo, j2 + 1))
+    return lo, hi
+
+
 # ------------------------------------------------------------- fp64 encode
 
 
 def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw):
     R = 1 + G * 33  # carry row + G blocks of (1 head row + 32 body rows)
 
-    def kernel(lo_ref, hi_ref, blo_ref, bhi_ref, hdr_ref,
-               stag_lo, stag_hi, carry_lo, carry_hi, hdr_row,
-               sm, sem_lo, sem_hi, sem_hdr):
+    def kernel(lo_ref, hi_ref, body_ref, hdr_ref,
+               stag_lo, stag_hi, stag32, carry_lo, carry_hi, hdr_row,
+               sm, sem_body, sem_hdr):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -510,9 +546,7 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw):
         @pl.when(step > 0)
         def _():
             pltpu.make_async_copy(
-                stag_lo.at[:], blo_ref.at[pl.ds(0, R)], sem_lo).wait()
-            pltpu.make_async_copy(
-                stag_hi.at[:], bhi_ref.at[pl.ds(0, R)], sem_hi).wait()
+                stag32.at[:], body_ref.at[pl.ds(0, 2 * R)], sem_body).wait()
             pltpu.make_async_copy(
                 hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
 
@@ -552,6 +586,9 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw):
         (c_lo, c_hi), _ = fv.compact_flat((step_lo, step_hi), s)
         stag_lo[:] = c_lo
         stag_hi[:] = c_hi
+        # interleave the compacted planes into u32 stream rows in-kernel
+        # (XLA's (N, 2) minor-dim interleave measured ~13 ms for 68 MB)
+        stag32[:] = interleave_planes_rows(c_lo, c_hi)
 
         # ---- header entries: offset-after (in u64 words) per block
         ends = csum[1:].reshape(G, 33, LANES)[:, 32, LANES - 1 :]  # (G, 1)
@@ -562,9 +599,7 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw):
 
         off_row = sm[0]
         pltpu.make_async_copy(
-            stag_lo.at[:], blo_ref.at[pl.ds(off_row, R)], sem_lo).start()
-        pltpu.make_async_copy(
-            stag_hi.at[:], bhi_ref.at[pl.ds(off_row, R)], sem_hi).start()
+            stag32.at[:], body_ref.at[pl.ds(2 * off_row, 2 * R)], sem_body).start()
         pltpu.make_async_copy(
             hdr_row.at[:], hdr_ref.at[pl.ds(step, 1)], sem_hdr).start()
 
@@ -579,9 +614,7 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw):
         @pl.when(step == nsteps - 1)
         def _():
             pltpu.make_async_copy(
-                stag_lo.at[:], blo_ref.at[pl.ds(0, R)], sem_lo).wait()
-            pltpu.make_async_copy(
-                stag_hi.at[:], bhi_ref.at[pl.ds(0, R)], sem_hi).wait()
+                stag32.at[:], body_ref.at[pl.ds(0, 2 * R)], sem_body).wait()
             pltpu.make_async_copy(
                 hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
 
@@ -590,9 +623,10 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw):
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None):
-    """blocks_{lo,hi}: (nb_pad, 4096) uint32 planes.  Returns (blo2d, bhi2d,
-    hdr2d); blo/bhi hold the stream's u64 words (one plane each) from u64
-    word `start_word` (default: the header length) onward."""
+    """blocks_{lo,hi}: (nb_pad, 4096) uint32 planes.  Returns (body2d,
+    hdr2d); body2d is the interleaved u32 stream (u32 index 2w+p of u64
+    word w) from u64 word `start_word` (default: the header length)
+    onward."""
     nb_pad = blocks_lo.shape[0]
     G = G_ENC
     nsteps = nb_pad // G
@@ -600,7 +634,7 @@ def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None):
     hw = fmt.header_words(num_hc, 64) if start_word is None else start_word
     bound_rows = (hw + nb_pad * (64 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
     kernel, R = _encode_kernel_fp64(dims, num_hc, G, nsteps, hw)
-    blo, bhi, hdr = pl.pallas_call(
+    body, hdr = pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[pl.BlockSpec((1, G * 32, LANES), lambda g: (g, 0, 0),
@@ -608,19 +642,17 @@ def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None):
                   pl.BlockSpec((1, G * 32, LANES), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY)),
-        out_shape=(jax.ShapeDtypeStruct((bound_rows, LANES), jnp.uint32),
-                   jax.ShapeDtypeStruct((bound_rows, LANES), jnp.uint32),
+        out_shape=(jax.ShapeDtypeStruct((2 * bound_rows, LANES), jnp.uint32),
                    jax.ShapeDtypeStruct((nsteps, LANES), jnp.uint32)),
         scratch_shapes=[
-            pltpu.VMEM((R, LANES), jnp.uint32),   # staging lo
-            pltpu.VMEM((R, LANES), jnp.uint32),   # staging hi
-            pltpu.VMEM((1, LANES), jnp.uint32),   # carry lo
-            pltpu.VMEM((1, LANES), jnp.uint32),   # carry hi
-            pltpu.VMEM((1, LANES), jnp.uint32),   # header row
+            pltpu.VMEM((R, LANES), jnp.uint32),       # staging lo (u64 plane)
+            pltpu.VMEM((R, LANES), jnp.uint32),       # staging hi (u64 plane)
+            pltpu.VMEM((2 * R, LANES), jnp.uint32),   # interleaved u32 rows
+            pltpu.VMEM((1, LANES), jnp.uint32),       # carry lo
+            pltpu.VMEM((1, LANES), jnp.uint32),       # carry hi
+            pltpu.VMEM((1, LANES), jnp.uint32),       # header row
             pltpu.SMEM((3,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -628,7 +660,7 @@ def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None):
         interpret=INTERPRET,
     )(blocks_lo.reshape(nsteps, G * 32, LANES),
       blocks_hi.reshape(nsteps, G * 32, LANES))
-    return blo, bhi, hdr
+    return body, hdr
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -661,14 +693,12 @@ def _encode_fp64_device(lo, hi, shape):
         z = jnp.zeros((nb_pad - num_hc, fmt.HC_SIZE), jnp.uint32)
         b_lo = jnp.concatenate([b_lo, z], 0)
         b_hi = jnp.concatenate([b_hi, z], 0)
-    blo2d, bhi2d, hdr2d = _encode_blocks_fp64(b_lo, b_hi, dims, num_hc)
+    body2d, hdr2d = _encode_blocks_fp64(b_lo, b_hi, dims, num_hc)
 
     header = hdr2d[:, :G].reshape(-1)[:num_hc]
     body_total = jax.lax.bitcast_convert_type(header[num_hc - 1], jnp.int32)
 
-    # interleave the (lo, hi) planes into the u32 stream
-    out = jnp.stack(
-        [blo2d.reshape(-1), bhi2d.reshape(-1)], axis=-1).reshape(-1)
+    out = body2d.reshape(-1)  # already the interleaved u32 stream
     out = jax.lax.dynamic_update_slice(out, header, (0,))
     if header_u32 > num_hc:  # zero pad entry for odd block counts
         out = jax.lax.dynamic_update_slice(
@@ -685,23 +715,21 @@ def _encode_fp64_device(lo, hi, shape):
 
 
 def _decode_kernel_fp64(dims, num_hc, G, nsteps):
-    def kernel(starts_ref, slo_ref, shi_ref, rotidx_ref,
-               out_lo_ref, out_hi_ref, win_lo, win_hi, sem_lo, sem_hi):
+    def kernel(starts_ref, stream_ref, rotidx_ref,
+               out_lo_ref, out_hi_ref, win32, sem):
         step = pl.program_id(0)
 
         for g in range(G):
             start = starts_ref[step * G + g]
             pltpu.make_async_copy(
-                slo_ref.at[pl.ds(start // LANES, WIN_ROWS)],
-                win_lo.at[g], sem_lo.at[g]).start()
-            pltpu.make_async_copy(
-                shi_ref.at[pl.ds(start // LANES, WIN_ROWS)],
-                win_hi.at[g], sem_hi.at[g]).start()
+                stream_ref.at[pl.ds(2 * (start // LANES), 2 * WIN_ROWS)],
+                win32.at[g], sem.at[g]).start()
         for g in range(G):
             pltpu.make_async_copy(
-                slo_ref.at[pl.ds(0, WIN_ROWS)], win_lo.at[g], sem_lo.at[g]).wait()
-            pltpu.make_async_copy(
-                shi_ref.at[pl.ds(0, WIN_ROWS)], win_hi.at[g], sem_hi.at[g]).wait()
+                stream_ref.at[pl.ds(0, 2 * WIN_ROWS)], win32.at[g], sem.at[g]).wait()
+
+        # split the interleaved u32 stream rows into u64-word planes
+        win_lo, win_hi = deinterleave_window_rows(win32[:])
 
         idx = rotidx_ref[0]                          # (G, 128)
         idx3 = jnp.broadcast_to(idx[:, None, :], (G, WIN_ROWS, LANES))
@@ -715,8 +743,8 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps):
             b = _gather_lanes(up, idx3)
             return jnp.where(idx3 >= cols, a, b)[:, :33, :]
 
-        y_lo = derotate(win_lo[:])                   # (G, 33, 128)
-        y_hi = derotate(win_hi[:])
+        y_lo = derotate(win_lo)                      # (G, 33, 128)
+        y_hi = derotate(win_hi)
 
         # present bits: chunk c's u64 head = (hi, lo) planes at lane c of
         # row 0; word i of a chunk (i = lane % 64) tests bit 63-i of the
@@ -750,11 +778,11 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _decode_blocks_fp64(slo2d, shi2d, starts, rotidx, dims, num_hc):
-    """slo2d/shi2d: (rows,128) u32 plane views of the padded stream (u64
-    word w at [w//128, w%128]); starts: (nb_pad,) i32 u64-word offsets of
-    each block (incl. header); rotidx: (nsteps, G, 128)."""
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _decode_blocks_fp64(stream2d, starts, rotidx, dims, num_hc):
+    """stream2d: (rows,128) u32 padded interleaved stream; starts:
+    (nb_pad,) i32 u64-word offsets of each block (incl. header); rotidx:
+    (nsteps, G, 128) u64-lane derotation indices."""
     nb_pad = starts.shape[0]
     G = G_DEC
     nsteps = nb_pad // G
@@ -764,7 +792,6 @@ def _decode_blocks_fp64(slo2d, shi2d, starts, rotidx, dims, num_hc):
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, G, LANES), lambda g, starts: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -773,9 +800,7 @@ def _decode_blocks_fp64(slo2d, shi2d, starts, rotidx, dims, num_hc):
                    pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g, starts: (g, 0, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((G, WIN_ROWS, LANES), jnp.uint32),
-            pltpu.VMEM((G, WIN_ROWS, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA((G,)),
+            pltpu.VMEM((G, 2 * WIN_ROWS, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((G,)),
         ],
     )
@@ -785,7 +810,7 @@ def _decode_blocks_fp64(slo2d, shi2d, starts, rotidx, dims, num_hc):
         out_shape=(jax.ShapeDtypeStruct((nsteps, G, fmt.HC_SIZE), jnp.uint32),
                    jax.ShapeDtypeStruct((nsteps, G, fmt.HC_SIZE), jnp.uint32)),
         interpret=INTERPRET,
-    )(starts, slo2d, shi2d, rotidx)
+    )(starts, stream2d, rotidx)
     return b_lo.reshape(nb_pad, fmt.HC_SIZE), b_hi.reshape(nb_pad, fmt.HC_SIZE)
 
 
@@ -819,11 +844,9 @@ def _decode_fp64_device(stream, shape):
         rotidx = (col[None, :] + rot[:, None]) % LANES
         rotidx = rotidx.reshape(nb_pad // G, G, LANES)
 
-        pairs = stream[: stream.shape[0] // (2 * LANES) * (2 * LANES)].reshape(-1, 2)
-        rows = pairs.shape[0] // LANES
-        slo2d = pairs[: rows * LANES, 0].reshape(rows, LANES)
-        shi2d = pairs[: rows * LANES, 1].reshape(rows, LANES)
-        b_lo, b_hi = _decode_blocks_fp64(slo2d, shi2d, starts, rotidx, dims, num_hc)
+        rows32 = stream.shape[0] // LANES
+        stream2d = stream[: rows32 * LANES].reshape(rows32, LANES)
+        b_lo, b_hi = _decode_blocks_fp64(stream2d, starts, rotidx, dims, num_hc)
         flat_lo = _scatter_blocks_xla(b_lo[:num_hc], shape, flat_lo)
         flat_hi = _scatter_blocks_xla(b_hi[:num_hc], shape, flat_hi)
 

@@ -132,10 +132,10 @@ def _local_encode_parts_pallas(words_local, local_shape, dims, wb):
     lo, hi = words_local
     b_lo = pad(codec_xla._gather_blocks(lo, local_shape))
     b_hi = pad(codec_xla._gather_blocks(hi, local_shape))
-    blo2d, bhi2d, hdr2d = codec_pallas._encode_blocks_fp64(
+    body2d, hdr2d = codec_pallas._encode_blocks_fp64(
         b_lo, b_hi, dims, local_hc, 0)
     entries = hdr2d[:, :G].reshape(-1)[:local_hc]
-    body = jnp.stack([blo2d.reshape(-1), bhi2d.reshape(-1)], axis=-1).reshape(-1)
+    body = body2d.reshape(-1)  # already the interleaved u32 stream
     body = body[:bound_u32] if body.shape[0] >= bound_u32 else jnp.pad(
         body, (0, bound_u32 - body.shape[0]))
     blen_u32 = 2 * jax.lax.bitcast_convert_type(entries[local_hc - 1], jnp.int32)
@@ -325,13 +325,11 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
             return words.reshape(local_shape)
         else:
             if use_pallas:
-                pairs = stream_rep[: stream_rep.shape[0] // 256 * 256].reshape(-1, 2)
-                rows = pairs.shape[0] // 128
-                slo2d = pairs[: rows * 128, 0].reshape(rows, 128)
-                shi2d = pairs[: rows * 128, 1].reshape(rows, 128)
+                rows = stream_rep.shape[0] // 128
+                stream2d = stream_rep[: rows * 128].reshape(rows, 128)
                 starts_abs, rotidx = _pallas_starts(header_u32 // 2 + starts_local)
                 b_lo, b_hi = codec_pallas._decode_blocks_fp64(
-                    slo2d, shi2d, starts_abs, rotidx, dims, local_hc)
+                    stream2d, starts_abs, rotidx, dims, local_hc)
                 b_lo, b_hi = b_lo[:local_hc], b_hi[:local_hc]
             else:
                 widx = starts_local[:, None] + jnp.arange(win, dtype=jnp.int32)
