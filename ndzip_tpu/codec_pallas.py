@@ -307,65 +307,111 @@ def _encode_blocks_fp32(blocks, dims, num_hc, start_word=None):
 WIN_ROWS = 34  # 4224 max block words + up to 127 alignment slack
 
 
+def _row_prefix_excl(x, nrows):
+    """Exclusive prefix over the row axis (-2) at full lane width; input
+    must already be broadcast across lanes."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+    inc = x
+    k = 1
+    while k < nrows:
+        rolled = pltpu.roll(inc, shift=k, axis=x.ndim - 2)
+        inc = jnp.where(rows >= k, inc + rolled, inc)
+        k <<= 1
+    return jnp.where(rows >= 1, pltpu.roll(inc, shift=1, axis=x.ndim - 2), 0)
+
+
+def _select_window_rows(P_f32, w):
+    """Data-dependent row selection as an MXU one-hot matmul: P_f32 is a
+    (G, R_out, W) one-hot over source rows, w a (G, W, 128) uint32 window.
+    Exact: u16 halves in f32 (values < 2^16 << 2^24)."""
+    dn = (((2,), (1,)), ((0,), (0,)))
+    # Mosaic has no direct uint32<->float32 casts; route through int32
+    # (all values fit in 16 bits, far below both int32 and f32 exactness).
+    # Precision.HIGHEST is required: the default MXU f32 matmul rounds
+    # inputs to bf16, corrupting 16-bit integer payloads.
+    w_lo = (w & _u32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    w_hi = (w >> _u32(16)).astype(jnp.int32).astype(jnp.float32)
+    lo = jax.lax.dot_general(P_f32, w_lo, dn, precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+    hi = jax.lax.dot_general(P_f32, w_hi, dn, precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+    return ((hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)).astype(jnp.uint32)
+
+
 def _decode_kernel_fp32(dims, num_hc, G, nsteps):
-    def kernel(starts_ref, stream_ref, rotidx_ref, out_ref, win, sems):
+    """Per-row gather decode: instead of derotating the whole window and
+    running a log-depth expand butterfly (the two hottest stages of the v1
+    kernel), each output row r selects its <=2 source rows with an MXU
+    one-hot matmul and places its words with ONE lane gather.  Source
+    position of dest (row r, lane l) = block_rot + 128 + sum(present
+    before row r) + in-row rank(l); spans at most 2 window rows because a
+    row re-expands exactly 128 words from <=128 sources."""
+
+    def kernel(starts_ref, stream_ref, out_ref, win, sems):
         step = pl.program_id(0)
 
         # fetch each block's 34-row window (row-aligned)
         for g in range(G):
             start = starts_ref[step * G + g]
-            cp = pltpu.make_async_copy(
+            pltpu.make_async_copy(
                 stream_ref.at[pl.ds(start // LANES, WIN_ROWS)],
-                win.at[g], sems.at[g])
-            cp.start()
+                win.at[g], sems.at[g]).start()
         for g in range(G):
             pltpu.make_async_copy(
                 stream_ref.at[pl.ds(0, WIN_ROWS)], win.at[g], sems.at[g]).wait()
 
         w = win[:]                                   # (G, 34, 128)
-        idx = rotidx_ref[0]                          # (G, 128): (col + rot) % 128
-        cols = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2)
-        rows34 = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
-        idx3 = jnp.broadcast_to(idx[:, None, :], w.shape)
-        a = _gather_lanes(w, idx3)
-        up = pltpu.roll(w, shift=WIN_ROWS - 1, axis=1)
-        up = jnp.where(rows34 < WIN_ROWS - 1, up, 0)
-        b = _gather_lanes(up, idx3)
-        no_wrap = idx3 >= cols
-        y = jnp.where(no_wrap, a, b)[:, :33, :]      # (G, 33, 128) derotated
+        # per-block rotation scalars broadcast to (G,1,128): Mosaic supports
+        # scalar->lanes and sublane broadcasts, but not both at once from a
+        # (G,1,1) vector
+        rot0 = jnp.concatenate(
+            [jnp.broadcast_to(starts_ref[step * G + g] % LANES, (1, 1, LANES))
+             for g in range(G)], axis=0).astype(jnp.int32)      # (G, 1, 128)
+
+        # heads row: window positions rot0 .. rot0+127 (rows 0-1)
+        cols1 = jax.lax.broadcasted_iota(jnp.int32, (G, 1, LANES), 2)
+        hsrc = rot0 + cols1
+        hidx = hsrc & (LANES - 1)
+        h_a = _gather_lanes(w[:, 0:1, :], hidx)
+        h_b = _gather_lanes(w[:, 1:2, :], hidx)
+        heads_row = jnp.where(hsrc < LANES, h_a, h_b)           # (G, 1, 128)
 
         # present bits: spread each chunk's head to its 32 flat positions,
         # then test bit (31 - i) where i = flat % 32
-        heads_row = y[:, 0:1, :]                     # (G, 1, 128)
-        spread = head_spread_to_flat(heads_row, G)   # (G, 32, 128)
+        spread = head_spread_to_flat(heads_row, G)              # (G, 32, 128)
         cols32 = jax.lax.broadcasted_iota(jnp.uint32, spread.shape, 2) & _u32(31)
         present = ((spread >> (_u32(31) - cols32)) & _u32(1)).astype(jnp.int32)
 
-        rows3 = jax.lax.broadcasted_iota(jnp.int32, (G, 33, LANES), 1)
-        cols3 = jax.lax.broadcasted_iota(jnp.int32, (G, 33, LANES), 2)
-        valid = jnp.concatenate(
-            [jnp.ones((G, 1, LANES), jnp.int32), present], axis=1)
+        # source index of dest (r, l): in-row rank + row offset + heads
+        lane_cs = fv.lane_cumsum(present)                       # (G, 32, 128)
+        cnt_b = jnp.broadcast_to(lane_cs[:, :, LANES - 1 :], lane_cs.shape)
+        off_row = _row_prefix_excl(cnt_b, 32) + LANES           # + heads row
+        srow = rot0 + off_row                                   # window word of rank 0
+        p = srow // LANES                                       # in [1, 33]
+        rot = srow % LANES
 
-        csum = fv.flat_cumsum(valid)
-        flat = rows3 * LANES + cols3
-        s = flat + 1 - csum                          # per-destination shift
-        expanded = fv.expand_flat(y, s)
-        expanded = jnp.where(valid != 0, expanded, _u32(0))
+        q = jax.lax.broadcasted_iota(jnp.int32, (G, 32, WIN_ROWS), 2)
+        p_col = p[:, :, 0:1]
+        A = _select_window_rows((q == p_col).astype(jnp.float32), w)
+        B = _select_window_rows((q == p_col + 1).astype(jnp.float32), w)
 
-        body = expanded[:, 1:, :]                    # (G, 32, 128) (c,i) order
+        src = rot + lane_cs - 1                                 # in [0, 255)
+        val = jnp.where(src < LANES,
+                        _gather_lanes(A, src & (LANES - 1)),
+                        _gather_lanes(B, src & (LANES - 1)))
+        body = jnp.where(present != 0, val, _u32(0))            # (G, 32, 128)
+
         xf = transpose_bits_lane32(body)             # inverse (involution)
-
         xf = inverse_transform_flat(xf, dims)
         out_ref[0] = xf.reshape(G, fmt.HC_SIZE)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _decode_blocks_fp32(stream2d, starts, rotidx, dims, num_hc):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _decode_blocks_fp32(stream2d, starts, dims, num_hc):
     """stream2d: (rows,128) u32 padded stream; starts: (nb_pad,) i32 word
-    offsets of each block (incl. header); rotidx: (nsteps, G, 128) gather
-    indices.  Returns blocks (nb_pad, 4096) u32."""
+    offsets of each block (incl. header).  Returns blocks (nb_pad, 4096)."""
     nb_pad = starts.shape[0]
     G = G_DEC
     nsteps = nb_pad // G
@@ -375,8 +421,6 @@ def _decode_blocks_fp32(stream2d, starts, rotidx, dims, num_hc):
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, G, LANES), lambda g, starts: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g, starts: (g, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -390,7 +434,7 @@ def _decode_blocks_fp32(stream2d, starts, rotidx, dims, num_hc):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nsteps, G, fmt.HC_SIZE), jnp.uint32),
         interpret=INTERPRET,
-    )(starts, stream2d, rotidx)
+    )(starts, stream2d)
     return blocks.reshape(nb_pad, fmt.HC_SIZE)
 
 
@@ -956,14 +1000,10 @@ def _decode_fp32_device(stream, shape):
                 [starts_blocks,
                  jnp.broadcast_to(starts_blocks[num_hc - 1], (nb_pad - num_hc,))])
         starts = num_hc + starts_blocks  # word offsets incl. header
-        rot = (starts % LANES).astype(jnp.int32)
-        col = jnp.arange(LANES, dtype=jnp.int32)
-        rotidx = (col[None, :] + rot[:, None]) % LANES
-        rotidx = rotidx.reshape(nb_pad // G, G, LANES)
 
         rows = (stream.shape[0]) // LANES
         stream2d = stream[: rows * LANES].reshape(rows, LANES)
-        blocks = _decode_blocks_fp32(stream2d, starts, rotidx, dims, num_hc)
+        blocks = _decode_blocks_fp32(stream2d, starts, dims, num_hc)
         flat = _scatter_blocks_xla(blocks[:num_hc], shape, flat)
 
     if border_idx.size:

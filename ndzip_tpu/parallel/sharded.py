@@ -310,11 +310,11 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
         # gather each local block's window and decode
         if wb == 32:
             if use_pallas:
-                starts_abs, rotidx = _pallas_starts(header_u32 + starts_local)
+                starts_abs, _ = _pallas_starts(header_u32 + starts_local)
                 rows = stream_rep.shape[0] // 128
                 stream2d = stream_rep[: rows * 128].reshape(rows, 128)
                 blocks = codec_pallas._decode_blocks_fp32(
-                    stream2d, starts_abs, rotidx, dims, local_hc)[:local_hc]
+                    stream2d, starts_abs, dims, local_hc)[:local_hc]
             else:
                 idx = header_u32 + starts_local[:, None] + jnp.arange(win, dtype=jnp.int32)
                 idx = jnp.minimum(idx, bound - 1)
