@@ -759,8 +759,10 @@ def _encode_fp64_device(lo, hi, shape):
 
 
 def _decode_kernel_fp64(dims, num_hc, G, nsteps):
-    def kernel(starts_ref, stream_ref, rotidx_ref,
-               out_lo_ref, out_hi_ref, win32, sem):
+    """Per-row gather decode on (lo, hi) planes — see _decode_kernel_fp32
+    for the design; heads occupy 64 u64 words (not 128)."""
+
+    def kernel(starts_ref, stream_ref, out_lo_ref, out_hi_ref, win32, sem):
         step = pl.program_id(0)
 
         for g in range(G):
@@ -775,46 +777,57 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps):
         # split the interleaved u32 stream rows into u64-word planes
         win_lo, win_hi = deinterleave_window_rows(win32[:])
 
-        idx = rotidx_ref[0]                          # (G, 128)
-        idx3 = jnp.broadcast_to(idx[:, None, :], (G, WIN_ROWS, LANES))
+        rot0 = jnp.concatenate(
+            [jnp.broadcast_to(starts_ref[step * G + g] % LANES, (1, 1, LANES))
+             for g in range(G)], axis=0).astype(jnp.int32)      # (G, 1, 128)
 
-        def derotate(w):
-            cols = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2)
-            rows34 = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
-            a = _gather_lanes(w, idx3)
-            up = pltpu.roll(w, shift=WIN_ROWS - 1, axis=1)
-            up = jnp.where(rows34 < WIN_ROWS - 1, up, 0)
-            b = _gather_lanes(up, idx3)
-            return jnp.where(idx3 >= cols, a, b)[:, :33, :]
+        # heads row: u64 words rot0 .. rot0+63 live in window rows 0-1
+        cols1 = jax.lax.broadcasted_iota(jnp.int32, (G, 1, LANES), 2)
+        hsrc = rot0 + cols1
+        hidx = hsrc & (LANES - 1)
 
-        y_lo = derotate(win_lo)                      # (G, 33, 128)
-        y_hi = derotate(win_hi)
+        def head_row(wp):
+            h_a = _gather_lanes(wp[:, 0:1, :], hidx)
+            h_b = _gather_lanes(wp[:, 1:2, :], hidx)
+            return jnp.where(hsrc < LANES, h_a, h_b)            # (G, 1, 128)
 
         # present bits: chunk c's u64 head = (hi, lo) planes at lane c of
-        # row 0; word i of a chunk (i = lane % 64) tests bit 63-i of the
-        # u64 head: hi-plane bit 31-i for i < 32, lo-plane bit 63-i above.
-        spread_lo = head_spread64_to_flat(y_lo[:, 0:1, :], G)  # (G, 32, 128)
-        spread_hi = head_spread64_to_flat(y_hi[:, 0:1, :], G)
+        # the head row; word i of a chunk (i = lane % 64) tests bit 63-i:
+        # hi-plane bit 31-i for i < 32, lo-plane bit 63-i above.
+        spread_lo = head_spread64_to_flat(head_row(win_lo), G)  # (G, 32, 128)
+        spread_hi = head_spread64_to_flat(head_row(win_hi), G)
         colsb = jax.lax.broadcasted_iota(jnp.int32, spread_lo.shape, 2)
         i64 = colsb & 63
         j32 = (colsb & 31).astype(jnp.uint32)
         plane = jnp.where(i64 < 32, spread_hi, spread_lo)
         present = ((plane >> (_u32(31) - j32)) & _u32(1)).astype(jnp.int32)
 
-        rows3 = jax.lax.broadcasted_iota(jnp.int32, (G, 33, LANES), 1)
-        cols3 = jax.lax.broadcasted_iota(jnp.int32, (G, 33, LANES), 2)
-        head_valid = ((rows3 == 0) & (cols3 < 64)).astype(jnp.int32)
-        valid = head_valid + jnp.concatenate(
-            [jnp.zeros((G, 1, LANES), jnp.int32), present], axis=1)
+        # source u64-word index of dest (r, l): rank + row offset + heads
+        lane_cs = fv.lane_cumsum(present)                       # (G, 32, 128)
+        cnt_b = jnp.broadcast_to(lane_cs[:, :, LANES - 1 :], lane_cs.shape)
+        off_row = _row_prefix_excl(cnt_b, 32) + 64              # 64 head words
+        srow = rot0 + off_row
+        p = srow // LANES                                       # in [0, 33)
+        rot = srow % LANES
 
-        csum = fv.flat_cumsum(valid)
-        flat = rows3 * LANES + cols3
-        s = flat + 1 - csum
-        e_lo, e_hi = fv.expand_flat((y_lo, y_hi), s)
-        e_lo = jnp.where(valid != 0, e_lo, _u32(0))
-        e_hi = jnp.where(valid != 0, e_hi, _u32(0))
+        q = jax.lax.broadcasted_iota(jnp.int32, (G, 32, WIN_ROWS), 2)
+        p_col = p[:, :, 0:1]
+        P1 = (q == p_col).astype(jnp.float32)
+        P2 = (q == p_col + 1).astype(jnp.float32)
+        A_lo = _select_window_rows(P1, win_lo)
+        A_hi = _select_window_rows(P1, win_hi)
+        B_lo = _select_window_rows(P2, win_lo)
+        B_hi = _select_window_rows(P2, win_hi)
 
-        c_lo, c_hi = transpose_bits_lane64_pair(e_lo[:, 1:, :], e_hi[:, 1:, :])
+        src = rot + lane_cs - 1
+        srcm = src & (LANES - 1)
+        near = src < LANES
+        c_lo = jnp.where(present != 0, jnp.where(
+            near, _gather_lanes(A_lo, srcm), _gather_lanes(B_lo, srcm)), _u32(0))
+        c_hi = jnp.where(present != 0, jnp.where(
+            near, _gather_lanes(A_hi, srcm), _gather_lanes(B_hi, srcm)), _u32(0))
+
+        c_lo, c_hi = transpose_bits_lane64_pair(c_lo, c_hi)
         x_lo, x_hi = inverse_transform_flat_pair(c_lo, c_hi, dims)
         out_lo_ref[0] = x_lo.reshape(G, fmt.HC_SIZE)
         out_hi_ref[0] = x_hi.reshape(G, fmt.HC_SIZE)
@@ -822,11 +835,10 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _decode_blocks_fp64(stream2d, starts, rotidx, dims, num_hc):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _decode_blocks_fp64(stream2d, starts, dims, num_hc):
     """stream2d: (rows,128) u32 padded interleaved stream; starts:
-    (nb_pad,) i32 u64-word offsets of each block (incl. header); rotidx:
-    (nsteps, G, 128) u64-lane derotation indices."""
+    (nb_pad,) i32 u64-word offsets of each block (incl. header)."""
     nb_pad = starts.shape[0]
     G = G_DEC
     nsteps = nb_pad // G
@@ -836,8 +848,6 @@ def _decode_blocks_fp64(stream2d, starts, rotidx, dims, num_hc):
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, G, LANES), lambda g, starts: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g, starts: (g, 0, 0),
                                 memory_space=pltpu.VMEM),
@@ -854,7 +864,7 @@ def _decode_blocks_fp64(stream2d, starts, rotidx, dims, num_hc):
         out_shape=(jax.ShapeDtypeStruct((nsteps, G, fmt.HC_SIZE), jnp.uint32),
                    jax.ShapeDtypeStruct((nsteps, G, fmt.HC_SIZE), jnp.uint32)),
         interpret=INTERPRET,
-    )(starts, stream2d, rotidx)
+    )(starts, stream2d)
     return b_lo.reshape(nb_pad, fmt.HC_SIZE), b_hi.reshape(nb_pad, fmt.HC_SIZE)
 
 
@@ -883,14 +893,10 @@ def _decode_fp64_device(stream, shape):
                 [starts_blocks,
                  jnp.broadcast_to(starts_blocks[num_hc - 1], (nb_pad - num_hc,))])
         starts = hw + starts_blocks  # u64-word offsets incl. header
-        rot = (starts % LANES).astype(jnp.int32)
-        col = jnp.arange(LANES, dtype=jnp.int32)
-        rotidx = (col[None, :] + rot[:, None]) % LANES
-        rotidx = rotidx.reshape(nb_pad // G, G, LANES)
 
         rows32 = stream.shape[0] // LANES
         stream2d = stream[: rows32 * LANES].reshape(rows32, LANES)
-        b_lo, b_hi = _decode_blocks_fp64(stream2d, starts, rotidx, dims, num_hc)
+        b_lo, b_hi = _decode_blocks_fp64(stream2d, starts, dims, num_hc)
         flat_lo = _scatter_blocks_xla(b_lo[:num_hc], shape, flat_lo)
         flat_hi = _scatter_blocks_xla(b_hi[:num_hc], shape, flat_hi)
 

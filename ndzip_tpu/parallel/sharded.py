@@ -301,16 +301,13 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
             starts_abs = jnp.concatenate(
                 [starts_abs,
                  jnp.broadcast_to(starts_abs[local_hc - 1], (nb_pad - local_hc,))])
-        rot = (starts_abs % 128).astype(jnp.int32)
-        col = jnp.arange(128, dtype=jnp.int32)
-        rotidx = ((col[None, :] + rot[:, None]) % 128).reshape(nb_pad // G, G, 128)
-        return starts_abs, rotidx
+        return starts_abs
 
     def shard_fn(stream_rep, starts_local):
         # gather each local block's window and decode
         if wb == 32:
             if use_pallas:
-                starts_abs, _ = _pallas_starts(header_u32 + starts_local)
+                starts_abs = _pallas_starts(header_u32 + starts_local)
                 rows = stream_rep.shape[0] // 128
                 stream2d = stream_rep[: rows * 128].reshape(rows, 128)
                 blocks = codec_pallas._decode_blocks_fp32(
@@ -327,9 +324,9 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
             if use_pallas:
                 rows = stream_rep.shape[0] // 128
                 stream2d = stream_rep[: rows * 128].reshape(rows, 128)
-                starts_abs, rotidx = _pallas_starts(header_u32 // 2 + starts_local)
+                starts_abs = _pallas_starts(header_u32 // 2 + starts_local)
                 b_lo, b_hi = codec_pallas._decode_blocks_fp64(
-                    stream2d, starts_abs, rotidx, dims, local_hc)
+                    stream2d, starts_abs, dims, local_hc)
                 b_lo, b_hi = b_lo[:local_hc], b_hi[:local_hc]
             else:
                 widx = starts_local[:, None] + jnp.arange(win, dtype=jnp.int32)
