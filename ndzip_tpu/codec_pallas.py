@@ -383,7 +383,7 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps):
         present = ((spread >> (_u32(31) - cols32)) & _u32(1)).astype(jnp.int32)
 
         # source index of dest (r, l): in-row rank + row offset + heads
-        lane_cs = fv.lane_cumsum(present)                       # (G, 32, 128)
+        lane_cs = fv.lane_count_prefix(present)                 # (G, 32, 128)
         cnt_b = jnp.broadcast_to(lane_cs[:, :, LANES - 1 :], lane_cs.shape)
         off_row = _row_prefix_excl(cnt_b, 32) + LANES           # + heads row
         srow = rot0 + off_row                                   # window word of rank 0
@@ -803,7 +803,7 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps):
         present = ((plane >> (_u32(31) - j32)) & _u32(1)).astype(jnp.int32)
 
         # source u64-word index of dest (r, l): rank + row offset + heads
-        lane_cs = fv.lane_cumsum(present)                       # (G, 32, 128)
+        lane_cs = fv.lane_count_prefix(present)                 # (G, 32, 128)
         cnt_b = jnp.broadcast_to(lane_cs[:, :, LANES - 1 :], lane_cs.shape)
         off_row = _row_prefix_excl(cnt_b, 32) + 64              # 64 head words
         srow = rot0 + off_row

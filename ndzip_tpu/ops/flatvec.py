@@ -99,6 +99,21 @@ def lane_cumsum(x):
     return x
 
 
+def lane_count_prefix(x01):
+    """Inclusive in-row prefix count of a 0/1 integer array via ONE
+    default-precision bf16 MXU matmul (exact: 0/1 inputs are exact in
+    bf16, and counts <= 128 accumulate exactly in the f32 accumulator),
+    replacing the 7 log-rounds of lane_cumsum."""
+    m_r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    m_c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    M = (m_r <= m_c).astype(jnp.float32).astype(jnp.bfloat16)
+    xb = x01.astype(jnp.float32).astype(jnp.bfloat16)
+    lane = jax.lax.dot_general(
+        xb, M, (((x01.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return lane.astype(x01.dtype)
+
+
 def flat_cumsum(x):
     """Inclusive cumsum over the flat (R*128) order.
 
