@@ -112,6 +112,45 @@ def main():
     dec_gbps = nbytes / t_dec / 1e9
     enc_gbps = nbytes / t_enc / 1e9
 
+    # --- fp64 secondary config (BASELINE.json config 3 family), TPU only ---
+    fp64 = {}
+    if on_tpu:
+        from ndzip_tpu.ops import u64pair
+
+        shape64 = (2**23,)
+        d64 = (np.sin(np.arange(shape64[0], dtype=np.float64) * 1e-4)
+               + 0.001 * rng.standard_normal(shape64[0]))
+        lo, hi = u64pair.split(d64.view(np.uint64))
+        lo, hi = jnp.asarray(lo), jnp.asarray(hi)
+        p64, l64 = codec_pallas._encode_fp64_device(lo, hi, shape64)
+        l64 = int(l64)
+        s64 = codec_pallas._pad_for_decode(np.asarray(p64[:l64]), shape64, 64)
+        out64 = codec_pallas.decompress(s64[:l64], shape64, np.float64)
+        assert np.array_equal(out64.view(np.uint64), d64.view(np.uint64)), \
+            "fp64 round-trip failed"
+        s64_dev = jnp.asarray(s64)
+
+        def make_dec64(reps):
+            @jax.jit
+            def loop(s):
+                def body(i, carry):
+                    s_, acc = carry
+                    s_ = jax.lax.dynamic_update_slice(
+                        s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
+                    lo_, hi_ = codec_pallas._decode_fp64_device(s_, shape64)
+                    return s_, acc + jax.lax.bitcast_convert_type(
+                        lo_.reshape(-1)[0], jnp.int32)
+                return jax.lax.fori_loop(0, reps, body, (s, jnp.int32(0)))[1]
+            return loop
+
+        t64_1 = timed(make_dec64(R1), s64_dev)
+        t64_2 = timed(make_dec64(R2), s64_dev)
+        t64 = (t64_2 - t64_1) / (R2 - R1)
+        fp64 = {
+            "fp64_decompress_gbps": round(d64.nbytes / t64 / 1e9, 3),
+            "fp64_ratio": round(l64 * 4 / d64.nbytes, 4),
+        }
+
     result = {
         "metric": "fp32 1D 2^24 decompression throughput (single chip, device time)",
         "value": round(dec_gbps, 3),
@@ -123,6 +162,7 @@ def main():
             "backend": backend,
             "reps": [R1, R2],
             "device": str(jax.devices()[0]),
+            **fp64,
         },
     }
     print(json.dumps(result))

@@ -349,18 +349,31 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps):
 
     def kernel(starts_ref, stream_ref, out_ref, win, sems):
         step = pl.program_id(0)
+        cur = jax.lax.rem(step, 2)
 
-        # fetch each block's 34-row window (row-aligned)
-        for g in range(G):
-            start = starts_ref[step * G + g]
-            pltpu.make_async_copy(
-                stream_ref.at[pl.ds(start // LANES, WIN_ROWS)],
-                win.at[g], sems.at[g]).start()
-        for g in range(G):
-            pltpu.make_async_copy(
-                stream_ref.at[pl.ds(0, WIN_ROWS)], win.at[g], sems.at[g]).wait()
+        # double-buffered window fetch: step s waits the windows issued at
+        # step s-1 and prefetches step s+1's while it computes
+        def issue(target_step, buf):
+            for g in range(G):
+                start = starts_ref[target_step * G + g]
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(start // LANES, WIN_ROWS)],
+                    win.at[buf, g], sems.at[buf, g]).start()
 
-        w = win[:]                                   # (G, 34, 128)
+        @pl.when(step == 0)
+        def _():
+            issue(step, cur)
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            issue(step + 1, 1 - cur)
+
+        for g in range(G):
+            pltpu.make_async_copy(
+                stream_ref.at[pl.ds(0, WIN_ROWS)],
+                win.at[cur, g], sems.at[cur, g]).wait()
+
+        w = win[cur]                                 # (G, 34, 128)
         # per-block rotation scalars broadcast to (G,1,128): Mosaic supports
         # scalar->lanes and sublane broadcasts, but not both at once from a
         # (G,1,1) vector
@@ -425,8 +438,8 @@ def _decode_blocks_fp32(stream2d, starts, dims, num_hc):
         out_specs=pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g, starts: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((G, WIN_ROWS, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA((G,)),
+            pltpu.VMEM((2, G, WIN_ROWS, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
     blocks = pl.pallas_call(
@@ -764,18 +777,30 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps):
 
     def kernel(starts_ref, stream_ref, out_lo_ref, out_hi_ref, win32, sem):
         step = pl.program_id(0)
+        cur = jax.lax.rem(step, 2)
+
+        def issue(target_step, buf):
+            for g in range(G):
+                start = starts_ref[target_step * G + g]
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(2 * (start // LANES), 2 * WIN_ROWS)],
+                    win32.at[buf, g], sem.at[buf, g]).start()
+
+        @pl.when(step == 0)
+        def _():
+            issue(step, cur)
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            issue(step + 1, 1 - cur)
 
         for g in range(G):
-            start = starts_ref[step * G + g]
             pltpu.make_async_copy(
-                stream_ref.at[pl.ds(2 * (start // LANES), 2 * WIN_ROWS)],
-                win32.at[g], sem.at[g]).start()
-        for g in range(G):
-            pltpu.make_async_copy(
-                stream_ref.at[pl.ds(0, 2 * WIN_ROWS)], win32.at[g], sem.at[g]).wait()
+                stream_ref.at[pl.ds(0, 2 * WIN_ROWS)],
+                win32.at[cur, g], sem.at[cur, g]).wait()
 
         # split the interleaved u32 stream rows into u64-word planes
-        win_lo, win_hi = deinterleave_window_rows(win32[:])
+        win_lo, win_hi = deinterleave_window_rows(win32[cur])
 
         rot0 = jnp.concatenate(
             [jnp.broadcast_to(starts_ref[step * G + g] % LANES, (1, 1, LANES))
@@ -854,8 +879,8 @@ def _decode_blocks_fp64(stream2d, starts, dims, num_hc):
                    pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g, starts: (g, 0, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((G, 2 * WIN_ROWS, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA((G,)),
+            pltpu.VMEM((2, G, 2 * WIN_ROWS, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
     b_lo, b_hi = pl.pallas_call(

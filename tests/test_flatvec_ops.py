@@ -1,0 +1,132 @@
+"""Unit tests for the flat-vector kernel primitives (ops/flatvec.py) and
+the kernel-side layout helpers (codec_pallas) under CPU jax semantics —
+the analog of the reference's pure-function unit tests
+(codec_generic_test.cc:13-157)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndzip_tpu import codec_pallas as cp
+from ndzip_tpu.ops import flatvec as fv
+
+RNG = np.random.default_rng(2)
+
+
+@pytest.fixture(autouse=True)
+def eager_roll(monkeypatch):
+    """pltpu.roll has no eager evaluation rule outside Pallas; jnp.roll has
+    identical semantics (out[i] = x[(i - shift) % n])."""
+    monkeypatch.setattr(fv, "_roll", lambda x, s, a: jnp.roll(x, s, a))
+    monkeypatch.setattr(
+        cp.pltpu, "roll",
+        lambda x, shift, axis: jnp.roll(x, shift, axis))
+
+
+def _flat(x):
+    return np.asarray(x).reshape(-1)
+
+
+class TestShifts:
+    @pytest.mark.parametrize("k", [1, 2, 16, 64, 128, 256])
+    def test_shift_left_right(self, k):
+        x = jnp.asarray(RNG.integers(0, 2**31, (5, 128), dtype=np.int32))
+        ref = np.zeros(5 * 128, np.int32)
+        ref[: 5 * 128 - k] = _flat(x)[k:]
+        assert np.array_equal(_flat(fv.shift_flat_left(x, k)), ref)
+        ref2 = np.zeros(5 * 128, np.int32)
+        ref2[k:] = _flat(x)[: 5 * 128 - k]
+        assert np.array_equal(_flat(fv.shift_flat_right(x, k)), ref2)
+
+
+class TestScans:
+    def test_flat_cumsum(self):
+        x = jnp.asarray(RNG.integers(0, 2, (7, 128), dtype=np.int32))
+        assert np.array_equal(_flat(fv.flat_cumsum(x)), np.cumsum(_flat(x)))
+
+    def test_lane_count_prefix_matches_lane_cumsum(self):
+        x = jnp.asarray(RNG.integers(0, 2, (3, 9, 128), dtype=np.int32))
+        a = np.asarray(fv.lane_count_prefix(x))
+        b = np.asarray(fv.lane_cumsum(x))
+        assert np.array_equal(a, b)
+
+    @pytest.mark.parametrize("stride,seg", [(1, 4096), (1, 64), (64, 4096),
+                                            (16, 256), (1, 16), (256, 4096)])
+    def test_segmented_cumsum_inverts_diff(self, stride, seg):
+        x = jnp.asarray(RNG.integers(0, 2**32, (32, 128), dtype=np.uint32))
+        d = fv.segmented_diff_flat(x, stride, seg)
+        back = fv.segmented_cumsum_flat(d, stride, seg)
+        assert np.array_equal(np.asarray(back), np.asarray(x))
+
+    @pytest.mark.parametrize("stride,seg", [(1, 4096), (16, 256), (256, 4096)])
+    def test_segmented_pair_inverts(self, stride, seg):
+        lo = jnp.asarray(RNG.integers(0, 2**32, (32, 128), dtype=np.uint32))
+        hi = jnp.asarray(RNG.integers(0, 2**32, (32, 128), dtype=np.uint32))
+        dlo, dhi = fv.segmented_diff_flat_pair(lo, hi, stride, seg)
+        blo, bhi = fv.segmented_cumsum_flat_pair(dlo, dhi, stride, seg)
+        assert np.array_equal(np.asarray(blo), np.asarray(lo))
+        assert np.array_equal(np.asarray(bhi), np.asarray(hi))
+
+
+class TestRouting:
+    def test_compact_then_expand_round_trip(self):
+        n_rows = 9
+        vals = RNG.integers(1, 2**32, (n_rows, 128), dtype=np.uint32)
+        valid = RNG.integers(0, 2, (n_rows, 128)).astype(np.int32)
+        flat_v = vals.reshape(-1)
+        flat_m = valid.reshape(-1).astype(bool)
+        expect = flat_v[flat_m]
+
+        csum = np.cumsum(valid.reshape(-1))
+        idx = np.arange(n_rows * 128)
+        s = np.where(flat_m, idx + 1 - csum, -1).reshape(n_rows, 128)
+        comp, _ = fv.compact_flat(jnp.asarray(vals), jnp.asarray(s))
+        got = _flat(comp)[: expect.size]
+        assert np.array_equal(got, expect)
+
+        # expand back: dest i takes source csum[i]-1
+        s2 = (idx + 1 - csum).reshape(n_rows, 128)
+        exp = fv.expand_flat(jnp.asarray(comp), jnp.asarray(s2))
+        back = np.where(flat_m, _flat(exp), 0)
+        assert np.array_equal(back, np.where(flat_m, flat_v, 0))
+
+
+class TestLayoutHelpers:
+    def test_interleave_deinterleave_round_trip(self):
+        lo = RNG.integers(0, 2**32, (6, 128), dtype=np.uint32)
+        hi = RNG.integers(0, 2**32, (6, 128), dtype=np.uint32)
+        inter = cp.interleave_planes_rows(jnp.asarray(lo), jnp.asarray(hi))
+        # stream order: u32 index 2w+p of u64 word w
+        expect = np.stack([lo.reshape(-1), hi.reshape(-1)], axis=-1).reshape(-1)
+        assert np.array_equal(_flat(inter), expect)
+        back_lo, back_hi = cp.deinterleave_window_rows(
+            jnp.asarray(np.asarray(inter).reshape(1, 12, 128)))
+        assert np.array_equal(np.asarray(back_lo)[0], lo)
+        assert np.array_equal(np.asarray(back_hi)[0], hi)
+
+    def test_transpose_bits_lane32_involution(self):
+        x = jnp.asarray(RNG.integers(0, 2**32, (2, 4, 128), dtype=np.uint32))
+        t = cp.transpose_bits_lane32(x)
+        tt = cp.transpose_bits_lane32(t)
+        assert np.array_equal(np.asarray(tt), np.asarray(x))
+
+    def test_transpose_pair_lane64_involution(self):
+        lo = jnp.asarray(RNG.integers(0, 2**32, (2, 4, 128), dtype=np.uint32))
+        hi = jnp.asarray(RNG.integers(0, 2**32, (2, 4, 128), dtype=np.uint32))
+        l2, h2 = cp.transpose_bits_lane64_pair(lo, hi)
+        l3, h3 = cp.transpose_bits_lane64_pair(l2, h2)
+        assert np.array_equal(np.asarray(l3), np.asarray(lo))
+        assert np.array_equal(np.asarray(h3), np.asarray(hi))
+
+    def test_head_row_gather_and_spread(self):
+        # head of chunk c at (row c//4, lane 32*(c%4)) -> lane c of head row
+        hs = np.zeros((1, 32, 128), np.uint32)
+        for c in range(128):
+            hs[0, c // 4, 32 * (c % 4)] = c + 1
+        row = np.asarray(cp.head_row_from_flat(jnp.asarray(hs)))
+        assert np.array_equal(row[0, 0], np.arange(1, 129, dtype=np.uint32))
+        spread = np.asarray(cp.head_spread_to_flat(jnp.asarray(row), 1))
+        for c in range(128):
+            seg = spread[0].reshape(-1)[32 * c : 32 * c + 32]
+            assert (seg == c + 1).all()
