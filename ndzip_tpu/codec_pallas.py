@@ -152,6 +152,95 @@ def head_spread_to_flat(head_row, G):
     return _gather_lanes(b, idx)
 
 
+# ---------------------------------------------------------- tile adapters
+#
+# For 2D/3D grids whose minor block-grid axis is a multiple of G, the
+# kernels read/write multi-block TILES straight from the (interior) array
+# via BlockSpec index maps — the DMA engine does the strided block fetch —
+# and rearrange tile <-> flat-block layout in-VMEM with lane gathers.
+# This replaces the XLA gather/scatter transposes (minor dims 16/64 < one
+# lane tile), which measured ~1.5-2.5 ms per 64 MiB on v5e.
+#
+# Tile shapes (G = blocks per grid step):
+#   2D: (64, G*64)   — G x-adjacent 64x64 blocks
+#   3D: (16, 16, G*16) — G x-adjacent 16^3 blocks
+# Flat-block layout reminder: block word w at (row w//128, lane w%128).
+
+
+def tile_to_blocks_2d(tile, G):
+    """(64, G*64) -> (G, 32, 128): out[b, q, 64h+c] = tile[2q+h, 64b+c].
+    Processed in 128-lane slices (2 blocks each) — Mosaic only gathers
+    within one lane tile."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (2, 32, LANES), 2)
+    b2 = jax.lax.broadcasted_iota(jnp.int32, (2, 32, LANES), 0)
+    idx = ((b2 << 6) + (cols & 63)).reshape(2 * 32, LANES)
+    outs = []
+    for t in range(G // 2):
+        sub = tile[:, 128 * t : 128 * (t + 1)].reshape(32, 2, LANES)
+        parts = []
+        for h in (0, 1):
+            src = jnp.broadcast_to(sub[:, h, :], (2, 32, LANES))
+            parts.append(jnp.take_along_axis(
+                src.reshape(2 * 32, LANES), idx, axis=1).reshape(2, 32, LANES))
+        outs.append(jnp.where(cols >= 64, parts[1], parts[0]))
+    return jnp.concatenate(outs, axis=0)
+
+
+def blocks_to_tile_2d(blocks, G):
+    """Inverse of tile_to_blocks_2d: tile[r, l] =
+    blocks[l>>6, r>>1, 64*(r&1) + (l&63)]."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (64, LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (64, LANES), 1)
+    idx = ((rows & 1) << 6) + (cols & 63)
+    outs = []
+    for t in range(G // 2):
+        parts = []
+        for db in (0, 1):
+            src = jnp.broadcast_to(
+                blocks[2 * t + db].reshape(32, 1, LANES),
+                (32, 2, LANES)).reshape(64, LANES)
+            parts.append(jnp.take_along_axis(src, idx, axis=1))
+        outs.append(jnp.where(cols >= 64, parts[1], parts[0]))
+    return jnp.concatenate(outs, axis=1)
+
+
+def tile_to_blocks_3d(tile, G):
+    """(16, 16, G*16) -> (G, 32, 128):
+    out[b, 2z+h, 16*y9+x] = tile[z, 8h+y9, 16b+x]."""
+    t = tile.reshape(16, 2, 8, G * 16)                 # [z, h, y9, lane]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G, 32, LANES), 2)
+    b = jax.lax.broadcasted_iota(jnp.int32, (G, 32, LANES), 0)
+    idx = (b << 4) + (cols & 15)
+    out = jnp.zeros((G, 32, LANES), tile.dtype)
+    for y9 in range(8):
+        part = t[:, :, y9, :].reshape(32, G * 16)      # rows 2z+h
+        src = jnp.broadcast_to(part, (G, 32, G * 16))
+        g = jnp.take_along_axis(
+            src.reshape(G * 32, G * 16), idx.reshape(G * 32, LANES), axis=1)
+        out = jnp.where((cols >> 4) == y9, g.reshape(G, 32, LANES), out)
+    return out
+
+
+def blocks_to_tile_3d(blocks, G):
+    """Inverse of tile_to_blocks_3d: tile[z, y, l] =
+    blocks[l>>4, 2z+(y>>3), 16*(y&7) + (l&15)]."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (16, 16, LANES), 1)  # y
+    cols = jax.lax.broadcasted_iota(jnp.int32, (16, 16, LANES), 2)
+    idx = ((rows & 7) << 4) + (cols & 15)
+    tcols = jax.lax.broadcasted_iota(jnp.int32, (16, 16, G * 16), 2)
+    out = jnp.zeros((16, 16, G * 16), blocks.dtype)
+    for b in range(G):
+        # rows of block b in [z, y] order: row 2z + (y>>3)
+        src = blocks[b].reshape(16, 2, LANES)          # [z, h, lane]
+        src = jnp.broadcast_to(src[:, :, None, :],
+                               (16, 2, 8, LANES)).reshape(16, 16, LANES)
+        g = _gather_lanes(src, idx)                    # period 16 in lanes
+        g_wide = jnp.concatenate([g] * (G * 16 // LANES), axis=2) \
+            if G * 16 > LANES else g[:, :, : G * 16]
+        out = jnp.where((tcols >> 4) == b, g_wide, out)
+    return out
+
+
 def forward_transform_flat(xf, dims):
     """xf: (G, 32, 128) uint32 flat blocks.  rotate -> diffs -> complement
     (common.hh:436-501)."""
@@ -173,7 +262,45 @@ def inverse_transform_flat(xf, dims):
 # =====================================================================
 
 
-def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word):
+def _tiled_layout(shape, dims, G):
+    """(block_shape, index_map) for the tiled fast path (multi-block tiles
+    DMA'd straight to/from the interior array; see the tile-adapter
+    section), or None when the minor block-grid axis is not a multiple of
+    G or a trailing axis has a border (then the interior slice would be a
+    strided copy that costs more than the XLA gather it replaces).
+    index_map takes the grid step only (wrap for scalar-prefetch specs)."""
+    grid = fmt.grid_shape(shape)
+    side = fmt.SIDE_LENGTH[dims]
+    if any(s % side for s in shape[1:]):
+        return None
+    if dims == 2 and grid[1] % G == 0:
+        gx = grid[1] // G
+        return (64, G * 64), lambda g: (g // gx, g % gx)
+    if dims == 3 and grid[2] % G == 0:
+        gx = grid[2] // G
+        gy = grid[1]
+        return ((16, 16, G * 16),
+                lambda g: (g // (gy * gx), (g // gx) % gy, g % gx))
+    return None
+
+
+def _tiled_input_spec(shape, dims, G):
+    layout = _tiled_layout(shape, dims, G)
+    if layout is None:
+        return None
+    block_shape, imap = layout
+    return pl.BlockSpec(block_shape, imap)
+
+
+def _load_blocks(blocks_ref, mode, G):
+    if mode == "tile2d":
+        return tile_to_blocks_2d(blocks_ref[:], G)
+    if mode == "tile3d":
+        return tile_to_blocks_3d(blocks_ref[:], G)
+    return blocks_ref[0].reshape(G, 32, LANES)
+
+
+def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
     """start_word: stream word offset where the first body word lands
     (= num_hc for a full single-stream encode where the header precedes the
     bodies; 0 for per-shard body-only encodes)."""
@@ -197,7 +324,7 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word):
             pltpu.make_async_copy(
                 hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
 
-        xf = blocks_ref[0].reshape(G, 32, LANES)   # free: leading split
+        xf = _load_blocks(blocks_ref, mode, G)
         xf = forward_transform_flat(xf, dims)
 
         # heads: OR over each 32-lane chunk segment, gathered into one row
@@ -300,6 +427,41 @@ def _encode_blocks_fp32(blocks, dims, num_hc, start_word=None):
     return body, hdr
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _encode_interior_fp32(interior, shape, num_hc):
+    """Tiled fast-path encode: `interior` is the block-aligned region of
+    the array; multi-block tiles are DMA'd directly by the pipeline (no
+    XLA gather transpose) and rearranged in-VMEM."""
+    dims = len(shape)
+    G = G_ENC
+    in_spec = _tiled_input_spec(shape, dims, G)
+    nsteps = num_hc // G
+    R = 1 + G * 33
+    bound_rows = (num_hc + num_hc * (128 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
+    mode = "tile2d" if dims == 2 else "tile3d"
+    kernel, R = _encode_kernel_fp32(dims, num_hc, G, nsteps, num_hc, mode)
+    body, hdr = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[in_spec],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_shape=(jax.ShapeDtypeStruct((bound_rows, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((nsteps, LANES), jnp.uint32)),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),   # staging
+            pltpu.VMEM((1, LANES), jnp.uint32),   # carry row
+            pltpu.VMEM((1, LANES), jnp.uint32),   # header row
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=INTERPRET,
+    )(interior)
+    return body, hdr
+
+
 # =====================================================================
 # fp32 decode
 # =====================================================================
@@ -338,7 +500,16 @@ def _select_window_rows(P_f32, w):
     return ((hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)).astype(jnp.uint32)
 
 
-def _decode_kernel_fp32(dims, num_hc, G, nsteps):
+def _store_blocks(out_ref, xf, mode, G):
+    if mode == "tile2d":
+        out_ref[:] = blocks_to_tile_2d(xf, G)
+    elif mode == "tile3d":
+        out_ref[:] = blocks_to_tile_3d(xf, G)
+    else:
+        out_ref[0] = xf.reshape(G, fmt.HC_SIZE)
+
+
+def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat"):
     """Per-row gather decode: instead of derotating the whole window and
     running a log-depth expand butterfly (the two hottest stages of the v1
     kernel), each output row r selects its <=2 source rows with an MXU
@@ -416,7 +587,7 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps):
 
         xf = transpose_bits_lane32(body)             # inverse (involution)
         xf = inverse_transform_flat(xf, dims)
-        out_ref[0] = xf.reshape(G, fmt.HC_SIZE)
+        _store_blocks(out_ref, xf, mode, G)
 
     return kernel
 
@@ -449,6 +620,42 @@ def _decode_blocks_fp32(stream2d, starts, dims, num_hc):
         interpret=INTERPRET,
     )(starts, stream2d)
     return blocks.reshape(nb_pad, fmt.HC_SIZE)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _decode_interior_fp32(stream2d, starts, shape, num_hc):
+    """Tiled fast-path decode: writes the interior array directly via
+    tiled out BlockSpecs (the pipeline DMAs the rearranged tiles; no XLA
+    scatter transpose).  Requires _tiled_layout(shape) and num_hc % G == 0
+    (guaranteed by the divisibility condition)."""
+    dims = len(shape)
+    G = G_DEC
+    nsteps = num_hc // G
+    block_shape, imap = _tiled_layout(shape, dims, G)
+    mode = "tile2d" if dims == 2 else "tile3d"
+    kernel = _decode_kernel_fp32(dims, num_hc, G, nsteps, mode)
+    side = fmt.SIDE_LENGTH[dims]
+    grid = fmt.grid_shape(shape)
+    interior_shape = tuple(g * side for g in grid)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(block_shape, lambda g, starts: imap(g),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, WIN_ROWS, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, G)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(interior_shape, jnp.uint32),
+        interpret=INTERPRET,
+    )(starts, stream2d)
 
 
 # =====================================================================
@@ -584,7 +791,7 @@ def deinterleave_window_rows(win32):
 # ------------------------------------------------------------- fp64 encode
 
 
-def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw):
+def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
     R = 1 + G * 33  # carry row + G blocks of (1 head row + 32 body rows)
 
     def kernel(lo_ref, hi_ref, body_ref, hdr_ref,
@@ -607,8 +814,8 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw):
             pltpu.make_async_copy(
                 hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
 
-        lo = lo_ref[0].reshape(G, 32, LANES)
-        hi = hi_ref[0].reshape(G, 32, LANES)
+        lo = _load_blocks(lo_ref, mode, G)
+        hi = _load_blocks(hi_ref, mode, G)
         lo, hi = forward_transform_flat_pair(lo, hi, dims)
 
         heads_lo = head_row64_from_flat(segment_or64(lo))   # (G, 1, 128)
@@ -720,6 +927,44 @@ def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None):
     return body, hdr
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _encode_interior_fp64(int_lo, int_hi, shape, num_hc):
+    """Tiled fast-path fp64 encode over (lo, hi) interior plane arrays."""
+    dims = len(shape)
+    G = G_ENC
+    block_shape, imap = _tiled_layout(shape, dims, G)
+    nsteps = num_hc // G
+    R = 1 + G * 33
+    hw = fmt.header_words(num_hc, 64)
+    bound_rows = (hw + num_hc * (64 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
+    mode = "tile2d" if dims == 2 else "tile3d"
+    kernel, R = _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode)
+    body, hdr = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec(block_shape, imap),
+                  pl.BlockSpec(block_shape, imap)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_shape=(jax.ShapeDtypeStruct((2 * bound_rows, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((nsteps, LANES), jnp.uint32)),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),       # staging lo (u64 plane)
+            pltpu.VMEM((R, LANES), jnp.uint32),       # staging hi (u64 plane)
+            pltpu.VMEM((2 * R, LANES), jnp.uint32),   # interleaved u32 rows
+            pltpu.VMEM((1, LANES), jnp.uint32),       # carry lo
+            pltpu.VMEM((1, LANES), jnp.uint32),       # carry hi
+            pltpu.VMEM((1, LANES), jnp.uint32),       # header row
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=INTERPRET,
+    )(int_lo, int_hi)
+    return body, hdr
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _encode_fp64_device(lo, hi, shape):
     """Full device encode of an fp64 grid held as (lo, hi) uint32 plane
@@ -742,15 +987,22 @@ def _encode_fp64_device(lo, hi, shape):
             out = jax.lax.dynamic_update_slice(out, border_vals_u32(), (0,))
         return out, jnp.int32(2 * border_idx.size)
 
-    b_lo = _gather_blocks_xla(lo, shape)
-    b_hi = _gather_blocks_xla(hi, shape)
     G = G_ENC
-    nb_pad = (num_hc + G - 1) // G * G
-    if nb_pad != num_hc:
-        z = jnp.zeros((nb_pad - num_hc, fmt.HC_SIZE), jnp.uint32)
-        b_lo = jnp.concatenate([b_lo, z], 0)
-        b_hi = jnp.concatenate([b_hi, z], 0)
-    body2d, hdr2d = _encode_blocks_fp64(b_lo, b_hi, dims, num_hc)
+    if _tiled_layout(shape, dims, G) is not None:
+        side = fmt.SIDE_LENGTH[dims]
+        grid = fmt.grid_shape(shape)
+        interior = tuple(slice(0, g * side) for g in grid)
+        body2d, hdr2d = _encode_interior_fp64(
+            lo[interior], hi[interior], shape, num_hc)
+    else:
+        b_lo = _gather_blocks_xla(lo, shape)
+        b_hi = _gather_blocks_xla(hi, shape)
+        nb_pad = (num_hc + G - 1) // G * G
+        if nb_pad != num_hc:
+            z = jnp.zeros((nb_pad - num_hc, fmt.HC_SIZE), jnp.uint32)
+            b_lo = jnp.concatenate([b_lo, z], 0)
+            b_hi = jnp.concatenate([b_hi, z], 0)
+        body2d, hdr2d = _encode_blocks_fp64(b_lo, b_hi, dims, num_hc)
 
     header = hdr2d[:, :G].reshape(-1)[:num_hc]
     body_total = jax.lax.bitcast_convert_type(header[num_hc - 1], jnp.int32)
@@ -771,7 +1023,7 @@ def _encode_fp64_device(lo, hi, shape):
 # ------------------------------------------------------------- fp64 decode
 
 
-def _decode_kernel_fp64(dims, num_hc, G, nsteps):
+def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat"):
     """Per-row gather decode on (lo, hi) planes — see _decode_kernel_fp32
     for the design; heads occupy 64 u64 words (not 128)."""
 
@@ -854,8 +1106,8 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps):
 
         c_lo, c_hi = transpose_bits_lane64_pair(c_lo, c_hi)
         x_lo, x_hi = inverse_transform_flat_pair(c_lo, c_hi, dims)
-        out_lo_ref[0] = x_lo.reshape(G, fmt.HC_SIZE)
-        out_hi_ref[0] = x_hi.reshape(G, fmt.HC_SIZE)
+        _store_blocks(out_lo_ref, x_lo, mode, G)
+        _store_blocks(out_hi_ref, x_hi, mode, G)
 
     return kernel
 
@@ -893,6 +1145,42 @@ def _decode_blocks_fp64(stream2d, starts, dims, num_hc):
     return b_lo.reshape(nb_pad, fmt.HC_SIZE), b_hi.reshape(nb_pad, fmt.HC_SIZE)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _decode_interior_fp64(stream2d, starts, shape, num_hc):
+    """Tiled fast-path fp64 decode: writes the (lo, hi) interior plane
+    arrays directly via tiled out BlockSpecs."""
+    dims = len(shape)
+    G = G_DEC
+    nsteps = num_hc // G
+    block_shape, imap = _tiled_layout(shape, dims, G)
+    mode = "tile2d" if dims == 2 else "tile3d"
+    kernel = _decode_kernel_fp64(dims, num_hc, G, nsteps, mode)
+    side = fmt.SIDE_LENGTH[dims]
+    grid = fmt.grid_shape(shape)
+    interior_shape = tuple(g * side for g in grid)
+    out_spec = pl.BlockSpec(block_shape, lambda g, starts: imap(g),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, 2 * WIN_ROWS, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, G)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct(interior_shape, jnp.uint32),
+                   jax.ShapeDtypeStruct(interior_shape, jnp.uint32)),
+        interpret=INTERPRET,
+    )(starts, stream2d)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _decode_fp64_device(stream, shape):
     """stream: padded u32 stream (>= 2*(bound_u64_rows + WIN_ROWS)*128).
@@ -921,9 +1209,17 @@ def _decode_fp64_device(stream, shape):
 
         rows32 = stream.shape[0] // LANES
         stream2d = stream[: rows32 * LANES].reshape(rows32, LANES)
-        b_lo, b_hi = _decode_blocks_fp64(stream2d, starts, dims, num_hc)
-        flat_lo = _scatter_blocks_xla(b_lo[:num_hc], shape, flat_lo)
-        flat_hi = _scatter_blocks_xla(b_hi[:num_hc], shape, flat_hi)
+        if _tiled_layout(shape, dims, G) is not None:
+            int_lo, int_hi = _decode_interior_fp64(stream2d, starts, shape, num_hc)
+            side = fmt.SIDE_LENGTH[dims]
+            grid = fmt.grid_shape(shape)
+            region = tuple(slice(0, g * side) for g in grid)
+            flat_lo = flat_lo.reshape(shape).at[region].set(int_lo).reshape(-1)
+            flat_hi = flat_hi.reshape(shape).at[region].set(int_hi).reshape(-1)
+        else:
+            b_lo, b_hi = _decode_blocks_fp64(stream2d, starts, dims, num_hc)
+            flat_lo = _scatter_blocks_xla(b_lo[:num_hc], shape, flat_lo)
+            flat_hi = _scatter_blocks_xla(b_hi[:num_hc], shape, flat_hi)
 
     if border_idx.size:
         border_vals = jax.lax.dynamic_slice(
@@ -989,13 +1285,19 @@ def _encode_fp32_device(words, shape):
                 out, words.reshape(-1)[jnp.asarray(border_idx)], (0,))
         return out, jnp.int32(border_idx.size)
 
-    blocks = _gather_blocks_xla(words, shape)
     G = G_ENC
-    nb_pad = (num_hc + G - 1) // G * G
-    if nb_pad != num_hc:
-        blocks = jnp.concatenate(
-            [blocks, jnp.zeros((nb_pad - num_hc, fmt.HC_SIZE), jnp.uint32)], 0)
-    body2d, hdr2d = _encode_blocks_fp32(blocks, dims, num_hc)
+    if _tiled_input_spec(shape, dims, G) is not None:
+        side = fmt.SIDE_LENGTH[dims]
+        grid = fmt.grid_shape(shape)
+        interior = words[tuple(slice(0, g * side) for g in grid)]
+        body2d, hdr2d = _encode_interior_fp32(interior, shape, num_hc)
+    else:
+        blocks = _gather_blocks_xla(words, shape)
+        nb_pad = (num_hc + G - 1) // G * G
+        if nb_pad != num_hc:
+            blocks = jnp.concatenate(
+                [blocks, jnp.zeros((nb_pad - num_hc, fmt.HC_SIZE), jnp.uint32)], 0)
+        body2d, hdr2d = _encode_blocks_fp32(blocks, dims, num_hc)
 
     header = hdr2d[:, :G].reshape(-1)[:num_hc]
     body_total = jax.lax.bitcast_convert_type(header[num_hc - 1], jnp.int32)
@@ -1034,8 +1336,16 @@ def _decode_fp32_device(stream, shape):
 
         rows = (stream.shape[0]) // LANES
         stream2d = stream[: rows * LANES].reshape(rows, LANES)
-        blocks = _decode_blocks_fp32(stream2d, starts, dims, num_hc)
-        flat = _scatter_blocks_xla(blocks[:num_hc], shape, flat)
+        if _tiled_layout(shape, dims, G) is not None:
+            interior = _decode_interior_fp32(stream2d, starts, shape, num_hc)
+            side = fmt.SIDE_LENGTH[dims]
+            grid = fmt.grid_shape(shape)
+            full = flat.reshape(shape)
+            full = full.at[tuple(slice(0, g * side) for g in grid)].set(interior)
+            flat = full.reshape(-1)
+        else:
+            blocks = _decode_blocks_fp32(stream2d, starts, dims, num_hc)
+            flat = _scatter_blocks_xla(blocks[:num_hc], shape, flat)
 
     if border_idx.size:
         border_vals = jax.lax.dynamic_slice(

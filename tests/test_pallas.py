@@ -16,6 +16,10 @@ SHAPES = [
     ((4096 * 8 + 100,), "1d border"),
     ((128, 192), "2d"),
     ((32, 32, 33), "3d border"),
+    ((128, 512), "2d tiled fast path"),
+    ((130, 513), "2d tiled + border"),
+    ((16, 32, 128), "3d tiled fast path"),
+    ((17, 32, 129), "3d tiled + border"),
 ]
 
 
@@ -58,6 +62,8 @@ SHAPES64 = [
     ((4096 * 3 + 1,), "1d border, odd block count"),
     ((128, 70), "2d border"),
     ((16, 32, 32), "3d"),
+    ((128, 512), "2d tiled fast path"),
+    ((17, 16, 128), "3d tiled + axis-0 border"),
 ]
 
 
