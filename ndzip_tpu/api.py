@@ -22,7 +22,7 @@ All emit bit-identical streams.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -210,11 +210,34 @@ _DECOMPRESSORS = {
 }
 
 
+def _precompile(backend: str, dtype, requirements: "CompressorRequirements"):
+    """The TPU-native meaning of compressor_requirements (ndzip.hh:255-269):
+    where the reference pre-sizes GPU scratch buffers for the largest
+    planned input, a jit codec pre-COMPILES its per-shape programs so the
+    first real compress call does not pay the (tens of seconds) trace +
+    XLA compile cost."""
+    wb = fmt.word_bits_for_dtype(dtype)
+    for shape in requirements.shapes:
+        if backend == "xla":
+            from . import codec_xla
+
+            codec_xla.encode_fn(shape, wb)
+            codec_xla.decode_fn(shape, wb)
+        elif backend == "pallas":
+            from . import codec_pallas
+
+            zero = np.zeros(shape, dtype)
+            stream, _ = codec_pallas.compress(zero)
+            codec_pallas.decompress(stream, shape, dtype)
+
+
 def make_compressor(dtype, dims, backend="auto", threads=1, requirements=None) -> Compressor:
     backend = _resolve_backend(backend)
     cls = _COMPRESSORS.get(backend)
     if cls is None:
         raise ValueError(f"unknown backend {backend!r}; options: {sorted(_COMPRESSORS)}")
+    if requirements is not None:
+        _precompile(backend, dtype, requirements)
     if cls is _NativeCompressor:
         return cls(dtype, dims, threads=threads)
     return cls(dtype, dims)

@@ -14,7 +14,9 @@ translating the reference's CUDA structure:
 * **Vector routing instead of warp ballots.**  Zero-word compaction is a
   monotone butterfly routing network (ops/flatvec.py::compact_flat) built
   from rolls and selects, replacing warp-ballot + popcount compaction
-  (cuda_codec.inl:185-275).  Decode uses the inverse gather network.
+  (cuda_codec.inl:185-275).  Decode re-expands with per-row gathers: each
+  output row's <=2 source rows are selected by a data-dependent one-hot
+  matmul on the MXU and placed with one lane gather.
 * **Flat-layout Lorenzo transform.**  Blocks stay in a flat (32, 128)
   word layout; per-axis differences/prefix-sums are strided segmented
   shifts (ops/flatvec.py::segmented_*), identical code for 1/2/3D.
@@ -663,9 +665,10 @@ def _decode_interior_fp32(stream2d, starts, shape, num_hc):
 # separate (32, 128) "planes" per block (4096 u64 words).  Chunks are 64
 # words, i.e. 64-lane segments; heads per block are 64 u64 words = the
 # first 64 lanes of the dense head row.  Planes are compacted together
-# (compact_flat moves tuples) in u64-word granularity and interleaved to
-# the final u32 stream by one XLA pass.  Mirrors the reference's
-# 32-bit-register 64-bit formulation (cuda_codec.inl:236-264).
+# (compact_flat moves tuples) in u64-word granularity and interleaved
+# into the byte-exact u32 stream IN-KERNEL (interleave_planes_rows).
+# Mirrors the reference's 32-bit-register 64-bit formulation
+# (cuda_codec.inl:236-264).
 # =====================================================================
 
 

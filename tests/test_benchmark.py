@@ -3,8 +3,6 @@ format, plot-tool round-trip (reference: src/benchmark/benchmark.cc and
 plot_benchmark.py)."""
 
 import io
-from pathlib import Path
-
 import numpy as np
 import pytest
 

@@ -3,7 +3,6 @@ on the fly from /root/reference (skipped when the reference checkout is
 not present).  This is the strongest oracle: our streams must be
 byte-identical to ndzip's CPU encoder and decodable by its decoder."""
 
-import os
 import subprocess
 from pathlib import Path
 
