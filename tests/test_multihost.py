@@ -67,9 +67,9 @@ def _free_port():
     return port
 
 
-@pytest.mark.parametrize("case", ["f32_2d", "f64_3d"])
-def test_multihost_bit_exact(tmp_path, case):
-    nproc = 2
+@pytest.mark.parametrize("case,nproc", [
+    ("f32_2d", 2), ("f64_3d", 2), ("f32_2d", 4)])
+def test_multihost_bit_exact(tmp_path, case, nproc):
     port = _free_port()
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
