@@ -197,6 +197,23 @@ def segmented_cumsum_flat_pair(lo, hi, stride: int, seg: int):
     return lo, hi
 
 
+_DEAD_BIT = 1 << 30
+
+
+def _shift_flat_left_lax(x, k):
+    """shift_flat_left without the end-of-array and tail-fill masking:
+    positions whose shifted source falls past the end hold garbage.  Only
+    valid when the caller masks those positions (compact_flat's `incoming`
+    is always False there because the shift of `s` uses a proper fill)."""
+    R = x.shape[-2]
+    if k % LANES == 0:
+        return _roll(x, R - k // LANES, len(x.shape) - 2)
+    _, cols = _row_col(x.shape)
+    a = _roll(x, LANES - k, len(x.shape) - 1)
+    b = _roll(_roll(x, R - 1, len(x.shape) - 2), LANES - k, len(x.shape) - 1)
+    return jnp.where(cols < LANES - k, a, b)
+
+
 def compact_flat(values, s):
     """Monotone left-compaction butterfly.
 
@@ -208,20 +225,29 @@ def compact_flat(values, s):
     at round k all live shifts are ≡ 0 (mod k), so a collision would force
     two equal destinations).
 
-    Returns (values, s) with compacted data at the front (s == 0 there).
-    `values` may be a tuple of arrays moved together.
+    Dead slots are tracked with a high sentinel bit instead of -1 so the
+    per-round liveness test collapses into the bit test itself ((DEAD & k)
+    == 0 for every round bit), and values move through unmasked shifts —
+    together ~25% fewer ops per round.
+
+    Returns (values, s) with compacted data at the front (s == 0 there,
+    the sentinel bit set elsewhere).  `values` may be a tuple of arrays
+    moved together.
     """
     single = not isinstance(values, tuple)
     vals = (values,) if single else values
     n = s.shape[-2] * LANES
-    neg1 = jnp.full((), -1, s.dtype)
+    assert n < _DEAD_BIT
+    dead = jnp.full((), _DEAD_BIT, s.dtype)
+    s = jnp.where(s < 0, dead, s)
     k = 1
     while k < n:
-        ss = shift_flat_left(s, k, fill=neg1)
-        incoming = (ss >= 0) & ((ss & k) != 0)
-        move = (s >= 0) & ((s & k) != 0)
-        vals = tuple(jnp.where(incoming, shift_flat_left(v, k), v) for v in vals)
-        s = jnp.where(incoming, ss - k, jnp.where(move, neg1, s))
+        ss = shift_flat_left(s, k, fill=dead)
+        incoming = (ss & k) != 0
+        move = (s & k) != 0
+        vals = tuple(jnp.where(incoming, _shift_flat_left_lax(v, k), v)
+                     for v in vals)
+        s = jnp.where(incoming, ss - k, jnp.where(move, dead, s))
         k <<= 1
     return (vals[0] if single else vals), s
 
