@@ -104,20 +104,6 @@ def transpose_bits_lane32(a):
     return a
 
 
-def segment_or32(a):
-    """Suffix-OR within every aligned 32-lane segment: after the log rounds
-    the segment's START lane (flat word 32c) holds the full OR of the
-    chunk's 32 words — the head bitmap word (cpu_codec.inl:344-352)."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
-    k = 1
-    while k < 32:
-        rolled = pltpu.roll(a, shift=LANES - k, axis=a.ndim - 1)  # a[l + k]
-        ok = (cols & 31) < 32 - k
-        a = jnp.where(ok, a | rolled, a)
-        k <<= 1
-    return a
-
-
 def _gather_lanes(x3, idx3):
     """take_along_axis along the last axis for 3D values (Pallas supports
     only 2D gathers; leading-dim merge is free)."""
@@ -126,19 +112,40 @@ def _gather_lanes(x3, idx3):
     return out.reshape(G, R, L)
 
 
-def head_row_from_flat(hs):
-    """hs: (G, 32, 128) where the head of chunk c sits at (row c//4, lane
-    32*(c%4)).  Returns (G, 1, 128) with head[c] at lane c — the head row of
+def heads_via_matmul(body):
+    """Head bitmap words from the TRANSPOSED body: head bit (31-i) of
+    chunk c is exactly (transposed word 32c+i != 0), so the head is a
+    weighted sum of the nonzero mask — two default-precision bf16 matmuls
+    (0/1 inputs and power-of-two weights are exact in bf16; 16-bit sums
+    are exact in the f32 accumulator).  Returns (G, 32, 128) with the 4
+    heads of row r at lanes 0..3 (chunk 4r+s at lane s), replacing
+    segment_or32's 5 roll rounds."""
+    G = body.shape[0]
+    nz = (body != 0).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    m = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    seg = (m >> 5) == sl                      # word m belongs to chunk slot sl
+    i = m & 31
+    w_hi = jnp.where(seg & (i < 16), (1 << (15 - (i & 15))), 0)
+    w_lo = jnp.where(seg & (i >= 16), (1 << (15 - (i & 15))), 0)
+    W_hi = w_hi.astype(jnp.float32).astype(jnp.bfloat16)
+    W_lo = w_lo.astype(jnp.float32).astype(jnp.bfloat16)
+    dn = (((2,), (0,)), ((), ()))
+    h_hi = jax.lax.dot_general(nz, W_hi, dn, preferred_element_type=jnp.float32)
+    h_lo = jax.lax.dot_general(nz, W_lo, dn, preferred_element_type=jnp.float32)
+    return ((h_hi.astype(jnp.int32) << 16) | h_lo.astype(jnp.int32)).astype(jnp.uint32)
+
+
+def head_row_from_h1(h1):
+    """h1: (G, 32, 128) with row r's 4 head words at lanes 0..3 (zeros
+    above).  Returns (G, 1, 128) with head[c] at lane c — the head row of
     the stream layout."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 2)
-    rows = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
-    # 1) lanes (0,32,64,96) -> lanes (0..3), zero elsewhere
-    idx1 = jnp.where(cols < 4, cols << 5, 0)
-    h1 = jnp.where(cols < 4, _gather_lanes(hs, idx1), _u32(0))
-    # 2) shift row r's 4 values to lanes 4r..4r+3
+    cols = jax.lax.broadcasted_iota(jnp.int32, h1.shape, 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, h1.shape, 1)
+    # shift row r's 4 values to lanes 4r..4r+3
     idx2 = (cols - (rows << 2)) & (LANES - 1)
     h2 = _gather_lanes(h1, idx2)
-    # 3) OR-fold the 32 rows (disjoint lanes) into one row
+    # OR-fold the 32 rows (disjoint lanes) into one row
     for h in (16, 8, 4, 2, 1):
         h2 = h2[:, :h] | h2[:, h : 2 * h]
     return h2
@@ -329,11 +336,10 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         xf = _load_blocks(blocks_ref, mode, G)
         xf = forward_transform_flat(xf, dims)
 
-        # heads: OR over each 32-lane chunk segment, gathered into one row
-        hs = segment_or32(xf)
-        heads_rows = head_row_from_flat(hs)    # (G, 1, 128)
         # transposed words, already in (chunk, bit) stream order
         body = transpose_bits_lane32(xf)       # (G, 32, 128)
+        # heads: bitpack of the transposed nonzero mask via MXU matmuls
+        heads_rows = head_row_from_h1(heads_via_matmul(body))  # (G, 1, 128)
         dense = jnp.concatenate([heads_rows, body], axis=1)  # (G, 33, 128)
 
         rows3 = jax.lax.broadcasted_iota(jnp.int32, dense.shape, 1)
