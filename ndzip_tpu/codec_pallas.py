@@ -723,27 +723,39 @@ def transpose_bits_lane64_pair(lo, hi):
     return out_lo, out_hi
 
 
-def segment_or64(a):
-    """Suffix-OR within every aligned 64-lane segment; the segment's start
-    lane ends up holding the OR of the chunk's 64 words (one plane of the
-    u64 head bitmap)."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
-    k = 1
-    while k < 64:
-        rolled = pltpu.roll(a, shift=LANES - k, axis=a.ndim - 1)
-        ok = (cols & 63) < 64 - k
-        a = jnp.where(ok, a | rolled, a)
-        k <<= 1
-    return a
+def heads64_via_matmul(body_lo, body_hi):
+    """u64 head bitmaps from the transposed body planes: bit (63-i) of
+    chunk c's u64 head is (transposed u64 word 64c+i != 0), so both head
+    planes are weighted sums of one nonzero mask over 64-lane segments —
+    four default-precision bf16 matmuls (see heads_via_matmul for the
+    exactness argument).  Returns (h1_lo, h1_hi), each (G, 32, 128) with
+    row r's 2 head words at lanes 0..1."""
+    nz = ((body_lo | body_hi) != 0).astype(jnp.int32).astype(
+        jnp.float32).astype(jnp.bfloat16)
+    m = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    seg = (m >> 6) == sl                     # word m belongs to chunk slot sl
+    i = m & 63
+    pw = 1 << (15 - (i & 15))
+    dn = (((2,), (0,)), ((), ()))
+
+    def head16(lo_bound, hi_bound):
+        W = jnp.where(seg & (i >= lo_bound) & (i < hi_bound), pw, 0)
+        h = jax.lax.dot_general(
+            nz, W.astype(jnp.float32).astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32)
+        return h.astype(jnp.int32)
+
+    h_hi = (head16(0, 16) << 16) | head16(16, 32)    # head_hi plane
+    h_lo = (head16(32, 48) << 16) | head16(48, 64)   # head_lo plane
+    return h_lo.astype(jnp.uint32), h_hi.astype(jnp.uint32)
 
 
-def head_row64_from_flat(hs):
-    """hs: (G, 32, 128) with chunk c's head at (row c//2, lane 64*(c%2)).
-    Returns (G, 1, 128) with head[c] at lane c (c < 64), zeros above."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 2)
-    rows = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
-    idx1 = jnp.where(cols < 2, cols << 6, 0)
-    h1 = jnp.where(cols < 2, _gather_lanes(hs, idx1), _u32(0))
+def head_row64_from_h1(h1):
+    """h1: (G, 32, 128) with row r's 2 head words at lanes 0..1 (zeros
+    above).  Returns (G, 1, 128) with head[c] at lane c (c < 64)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, h1.shape, 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, h1.shape, 1)
     idx2 = (cols - (rows << 1)) & (LANES - 1)
     h2 = _gather_lanes(h1, idx2)
     for h in (16, 8, 4, 2, 1):
@@ -827,9 +839,10 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         hi = _load_blocks(hi_ref, mode, G)
         lo, hi = forward_transform_flat_pair(lo, hi, dims)
 
-        heads_lo = head_row64_from_flat(segment_or64(lo))   # (G, 1, 128)
-        heads_hi = head_row64_from_flat(segment_or64(hi))
         body_lo, body_hi = transpose_bits_lane64_pair(lo, hi)
+        h1_lo, h1_hi = heads64_via_matmul(body_lo, body_hi)
+        heads_lo = head_row64_from_h1(h1_lo)                # (G, 1, 128)
+        heads_hi = head_row64_from_h1(h1_hi)
         dense_lo = jnp.concatenate([heads_lo, body_lo], axis=1)  # (G, 33, 128)
         dense_hi = jnp.concatenate([heads_hi, body_hi], axis=1)
 
