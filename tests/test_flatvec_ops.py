@@ -120,13 +120,28 @@ class TestLayoutHelpers:
         assert np.array_equal(np.asarray(h3), np.asarray(hi))
 
     def test_head_row_gather_and_spread(self):
-        # head of chunk c at (row c//4, lane 32*(c%4)) -> lane c of head row
-        hs = np.zeros((1, 32, 128), np.uint32)
+        # h1: heads of chunks 4r..4r+3 at lanes 0..3 of row r -> lane c of
+        # the head row
+        h1 = np.zeros((1, 32, 128), np.uint32)
         for c in range(128):
-            hs[0, c // 4, 32 * (c % 4)] = c + 1
-        row = np.asarray(cp.head_row_from_flat(jnp.asarray(hs)))
+            h1[0, c // 4, c % 4] = c + 1
+        row = np.asarray(cp.head_row_from_h1(jnp.asarray(h1)))
         assert np.array_equal(row[0, 0], np.arange(1, 129, dtype=np.uint32))
         spread = np.asarray(cp.head_spread_to_flat(jnp.asarray(row), 1))
         for c in range(128):
             seg = spread[0].reshape(-1)[32 * c : 32 * c + 32]
             assert (seg == c + 1).all()
+
+    def test_heads_via_matmul_matches_or(self):
+        body = RNG.integers(0, 2**32, (2, 32, 128), dtype=np.uint32)
+        body[body % 3 == 0] = 0  # plenty of zero words
+        h1 = np.asarray(cp.heads_via_matmul(jnp.asarray(body)))
+        for g in range(2):
+            for r in range(32):
+                for s in range(4):
+                    nz = body[g, r, 32 * s : 32 * s + 32] != 0
+                    expect = np.uint32(0)
+                    for i, bit in enumerate(nz):
+                        if bit:
+                            expect |= np.uint32(1) << np.uint32(31 - i)
+                    assert h1[g, r, s] == expect, (g, r, s)
