@@ -1,0 +1,60 @@
+"""Seeded fuzz: random shapes (tiled + fallback paths, borders, tiny and
+degenerate extents) x random sparsity patterns, checked bit-exactly
+against the golden codec through the Pallas interpret path.  The analog of
+the reference's randomized per-profile property tests
+(codec_profile_test.inl:37-96), widened across shape space."""
+
+import numpy as np
+import pytest
+
+from ndzip_tpu import codec_pallas, golden
+
+codec_pallas.INTERPRET = True
+
+RNG = np.random.default_rng(1234)
+
+
+def _random_shape(rng, dims):
+    if dims == 1:
+        n = int(rng.integers(1, 5)) * 4096 + int(rng.integers(0, 300))
+        return (n,)
+    if dims == 2:
+        return (int(rng.integers(1, 4)) * 64 + int(rng.integers(0, 70)),
+                int(rng.integers(1, 9)) * 64 + int(rng.integers(0, 70)))
+    return tuple(int(rng.integers(1, 4)) * 16 + int(rng.integers(0, 18))
+                 for _ in range(3))
+
+
+def _random_data(rng, shape, dtype):
+    n = int(np.prod(shape))
+    style = rng.integers(0, 4)
+    if style == 0:      # smooth (high compression)
+        data = np.sin(np.arange(n) * 1e-3).astype(dtype)
+    elif style == 1:    # random (incompressible)
+        data = rng.standard_normal(n).astype(dtype)
+    elif style == 2:    # mostly zero with random spikes
+        data = np.zeros(n, dtype)
+        idx = rng.integers(0, n, max(1, n // 50))
+        data[idx] = rng.standard_normal(idx.size)
+    else:               # constant runs
+        data = np.repeat(rng.standard_normal(max(1, n // 97 + 1)),
+                         97)[:n].astype(dtype)
+    return data.reshape(shape)
+
+
+CASES = [(d, dt, s) for s in range(4) for d in (1, 2, 3)
+         for dt in (np.float32, np.float64)]
+
+
+@pytest.mark.parametrize("dims,dtype,seed", CASES)
+def test_fuzz_round_trip_bit_exact(dims, dtype, seed):
+    rng = np.random.default_rng(1000 * seed + dims)
+    shape = _random_shape(rng, dims)
+    data = _random_data(rng, shape, dtype)
+    g, gl = golden.compress(data)
+    s, l = codec_pallas.compress(data)
+    assert l == gl, f"{shape} {dtype}: length {l} != {gl}"
+    assert s.tobytes() == g.tobytes(), f"{shape} {dtype}: stream mismatch"
+    out = codec_pallas.decompress(g, shape, dtype)
+    wdt = np.uint64 if dtype == np.float64 else np.uint32
+    assert np.array_equal(out.view(wdt), data.view(wdt)), f"{shape} {dtype}"
