@@ -97,9 +97,12 @@ def main():
 
     def timed(loop, arg):
         int(loop(arg))  # warm-up / compile
-        t0 = time.perf_counter()
-        int(loop(arg))
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(loop(arg))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     t_enc1 = timed(make_enc_loop(R1), words)
     t_enc2 = timed(make_enc_loop(R2), words)

@@ -357,7 +357,7 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
             [jnp.zeros((1, LANES), jnp.int32), valid3.reshape(G * 33, LANES)], axis=0)
         valid = valid | carry_valid
 
-        csum = fv.flat_cumsum(valid)
+        csum = fv.flat_cumsum(valid, lane_matmul=True)
         idx = rows * LANES + cols
         s = jnp.where(valid != 0, idx + 1 - csum, -1)
         compacted, _ = fv.compact_flat(step_flat, s)
@@ -866,7 +866,7 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
             [jnp.zeros((1, LANES), jnp.int32), valid3.reshape(G * 33, LANES)], axis=0)
         valid = valid | carry_valid
 
-        csum = fv.flat_cumsum(valid)
+        csum = fv.flat_cumsum(valid, lane_matmul=True)
         idx = rows * LANES + cols
         s = jnp.where(valid != 0, idx + 1 - csum, -1)
         (c_lo, c_hi), _ = fv.compact_flat((step_lo, step_hi), s)

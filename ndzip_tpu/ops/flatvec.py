@@ -114,15 +114,16 @@ def lane_count_prefix(x01):
     return lane.astype(x01.dtype)
 
 
-def flat_cumsum(x):
+def flat_cumsum(x, lane_matmul=False):
     """Inclusive cumsum over the flat (R*128) order.
 
     The row-offset scan runs at FULL lane width (the row total broadcast to
     every lane) rather than on an (R, 1) column — thin columns waste 127/128
-    of the VPU and measured ~7x slower than the full-width rounds."""
+    of the VPU and measured ~7x slower than the full-width rounds.
+    lane_matmul=True uses the bf16 MXU lane prefix (0/1 inputs only)."""
     R = x.shape[-2]
     rows, _ = _row_col(x.shape)
-    lx = lane_cumsum(x)
+    lx = lane_count_prefix(x) if lane_matmul else lane_cumsum(x)
     inc = jnp.broadcast_to(lx[..., :, LANES - 1 : LANES], lx.shape)
     k = 1
     while k < R:
