@@ -221,7 +221,6 @@ def compress_sharded(data, mesh: Mesh):
         lo, hi = u64pair.split(np.ascontiguousarray(w64))
         host_words = (lo, hi)
 
-    in_spec = P(axis) if dims >= 1 else P()
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(tuple(P(axis) for _ in host_words),),
