@@ -259,10 +259,60 @@ def forward_transform_flat(xf, dims):
     return complement_negative(xf)
 
 
+def _lane_tri_mask(seg):
+    """(128, 128) bf16 mask: M[m, l] = 1 iff m <= l and both in the same
+    `seg`-lane segment."""
+    m = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    ok = (m <= l) & ((m // seg) == (l // seg))
+    return ok.astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def _lane_segment_cumsum_u32(x, seg):
+    """Wrapping uint32 inclusive cumsum within `seg`-lane segments (seg <=
+    128, stride 1) via four u8-quarter matmuls: u8 inputs are exact in
+    bf16, quarter sums (<= 128*255) exact in the f32 accumulator, and the
+    int32 recombination (cs3<<24)+(cs2<<16)+(cs1<<8)+cs0 wraps to exactly
+    the mod-2^32 prefix sum.  Replaces log2(seg) roll rounds of the
+    inverse Lorenzo transform with MXU work."""
+    M = _lane_tri_mask(seg)
+    dn = (((x.ndim - 1,), (0,)), ((), ()))
+    xi = x.astype(jnp.int32)
+    acc = None
+    for k in range(4):
+        q = ((xi >> (8 * k)) & 0xFF).astype(jnp.float32).astype(jnp.bfloat16)
+        cs = jax.lax.dot_general(
+            q, M, dn, preferred_element_type=jnp.float32).astype(jnp.int32)
+        term = cs << (8 * k)
+        acc = term if acc is None else acc + term
+    return acc.astype(jnp.uint32)
+
+
+def _block_cumsum_u32(x):
+    """Wrapping uint32 inclusive cumsum over each flat (32, 128) block of
+    x (..., 32, 128): in-row quarters via MXU + a full-width row-offset
+    scan within the block."""
+    lane = _lane_segment_cumsum_u32(x, LANES).astype(jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, lane.shape, lane.ndim - 2)
+    inc = jnp.broadcast_to(lane[..., :, LANES - 1 :], lane.shape)
+    k = 1
+    while k < 32:
+        rolled = pltpu.roll(inc, shift=k, axis=lane.ndim - 2)
+        inc = jnp.where(rows >= k, inc + rolled, inc)
+        k <<= 1
+    excl = jnp.where(rows >= 1, pltpu.roll(inc, shift=1, axis=lane.ndim - 2), 0)
+    return (lane + excl).astype(jnp.uint32)
+
+
 def inverse_transform_flat(xf, dims):
     xf = complement_negative(xf)
     for stride, seg in reversed(TRANSFORM_AXES[dims]):
-        xf = fv.segmented_cumsum_flat(xf, stride, seg)
+        if stride == 1 and seg == fmt.HC_SIZE:
+            xf = _block_cumsum_u32(xf)
+        elif stride == 1 and seg <= LANES:
+            xf = _lane_segment_cumsum_u32(xf, seg)
+        else:
+            xf = fv.segmented_cumsum_flat(xf, stride, seg)
     return rotr1(xf)
 
 
