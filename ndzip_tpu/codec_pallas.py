@@ -316,6 +316,58 @@ def inverse_transform_flat(xf, dims):
     return rotr1(xf)
 
 
+def _quarter_prefix(x, M, dn):
+    """The four u8-quarter prefix matmuls of _lane_segment_cumsum_u32,
+    returning (cs0..cs3) int32 quarter prefix sums."""
+    xi = x.astype(jnp.int32)
+    out = []
+    for k in range(4):
+        q = ((xi >> (8 * k)) & 0xFF).astype(jnp.float32).astype(jnp.bfloat16)
+        out.append(jax.lax.dot_general(
+            q, M, dn, preferred_element_type=jnp.float32).astype(jnp.int32))
+    return out
+
+
+def _lane_segment_cumsum_pair(lo, hi, seg):
+    """Wrapping uint64 in-segment prefix sum on (lo, hi) planes.  The lo
+    plane's carry into hi is exact in int32: with A = cs0 + (cs1<<8) and
+    B = cs2 + (cs3<<8) (both <= 2^23), carry = (B + (A>>16)) >> 16."""
+    M = _lane_tri_mask(seg)
+    dn = (((lo.ndim - 1,), (0,)), ((), ()))
+    c0, c1, c2, c3 = _quarter_prefix(lo, M, dn)
+    A = c0 + (c1 << 8)        # <= 2^23, exact in int32
+    B = c2 + (c3 << 8)        # <= 2^23, exact in int32
+    lo_cs = (A + (B << 16)).astype(jnp.uint32)
+    carry = (B + (A >> 16)) >> 16
+    h0, h1, h2, h3 = _quarter_prefix(hi, M, dn)
+    hi_cs = (h0 + (h1 << 8) + (h2 << 16) + (h3 << 24) + carry).astype(jnp.uint32)
+    return lo_cs, hi_cs
+
+
+def _block_cumsum_pair(lo, hi):
+    """Wrapping uint64 prefix sum over each flat (32, 128) block on (lo,
+    hi) planes: MXU in-row quarters + a full-width pair row-offset scan."""
+    lo_cs, hi_cs = _lane_segment_cumsum_pair(lo, hi, LANES)
+    rows = jax.lax.broadcasted_iota(jnp.int32, lo_cs.shape, lo_cs.ndim - 2)
+    inc_lo = jnp.broadcast_to(lo_cs[..., :, LANES - 1 :], lo_cs.shape)
+    inc_hi = jnp.broadcast_to(hi_cs[..., :, LANES - 1 :], hi_cs.shape)
+    k = 1
+    while k < 32:
+        r_lo = pltpu.roll(inc_lo, shift=k, axis=lo_cs.ndim - 2)
+        r_hi = pltpu.roll(inc_hi, shift=k, axis=lo_cs.ndim - 2)
+        a_lo = inc_lo + r_lo
+        a_hi = inc_hi + r_hi + (a_lo < inc_lo).astype(jnp.uint32)
+        inc_lo = jnp.where(rows >= k, a_lo, inc_lo)
+        inc_hi = jnp.where(rows >= k, a_hi, inc_hi)
+        k <<= 1
+    z = jnp.zeros((), jnp.uint32)
+    e_lo = jnp.where(rows >= 1, pltpu.roll(inc_lo, shift=1, axis=lo_cs.ndim - 2), z)
+    e_hi = jnp.where(rows >= 1, pltpu.roll(inc_hi, shift=1, axis=lo_cs.ndim - 2), z)
+    out_lo = lo_cs + e_lo
+    out_hi = hi_cs + e_hi + (out_lo < lo_cs).astype(jnp.uint32)
+    return out_lo, out_hi
+
+
 # =====================================================================
 # fp32 encode
 # =====================================================================
@@ -755,7 +807,12 @@ def forward_transform_flat_pair(lo, hi, dims):
 def inverse_transform_flat_pair(lo, hi, dims):
     lo, hi = complement_negative_pair(lo, hi)
     for stride, seg in reversed(TRANSFORM_AXES[dims]):
-        lo, hi = fv.segmented_cumsum_flat_pair(lo, hi, stride, seg)
+        if stride == 1 and seg == fmt.HC_SIZE:
+            lo, hi = _block_cumsum_pair(lo, hi)
+        elif stride == 1 and seg <= LANES:
+            lo, hi = _lane_segment_cumsum_pair(lo, hi, seg)
+        else:
+            lo, hi = fv.segmented_cumsum_flat_pair(lo, hi, stride, seg)
     return rotr1_pair(lo, hi)
 
 
