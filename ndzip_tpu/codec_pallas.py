@@ -459,11 +459,33 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
             [jnp.zeros((1, LANES), jnp.int32), valid3.reshape(G * 33, LANES)], axis=0)
         valid = valid | carry_valid
 
-        csum = fv.flat_cumsum(valid, lane_matmul=True)
-        idx = rows * LANES + cols
-        s = jnp.where(valid != 0, idx + 1 - csum, -1)
-        compacted, _ = fv.compact_flat(step_flat, s)
-        staging[:] = compacted
+        # step compaction: in-row butterfly (7 lane-only rounds), per-row
+        # rotation to the global lane offset, then ONE tuple OR-merge over
+        # rows places every row's (<=2-output-row) span — H parts at
+        # prow_r, L parts (the lane wrap) at prow_r + 1 via a 1-row shift
+        # of the co-routed plane.
+        lane_cs = fv.lane_count_prefix(valid)
+        cnt = jnp.broadcast_to(lane_cs[:, LANES - 1 :], (R, LANES))
+        off = _row_prefix_excl(cnt, R)
+        incl = off + cnt
+        s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
+        (comp,), _ = fv.compact_rows((step_flat,), s_local)
+        rot = off & (LANES - 1)
+        prow = off >> 7
+        j = (cols - rot) & (LANES - 1)
+        can = j < cnt
+        rotated = jnp.take_along_axis(comp, j, axis=1)
+        h_part = jnp.where((cols >= rot) & can, rotated, _u32(0))
+        l_part = jnp.where((cols < rot) & can, rotated, _u32(0))
+        m_h, m_l = fv.merge_rows_or((h_part, l_part), rows - prow)
+        # rows past the last H destination hold stale values (the merge
+        # only replaces slots that receive something); the row at
+        # prow_max+1 is still a live L destination, so mask m_h there
+        prow_last = jnp.broadcast_to(prow[R - 1 :, :], (R, LANES))
+        m_h = jnp.where(rows <= prow_last, m_h, _u32(0))
+        m_l_dn = jnp.where(rows >= 1, pltpu.roll(m_l, shift=1, axis=0), _u32(0))
+        staging[:] = m_h | m_l_dn
+        csum = incl
 
         # ---- header entries: offset-after for each block of this step
         ends = csum[1:].reshape(G, 33, LANES)[:, 32, LANES - 1 :]  # (G, 1)

@@ -201,6 +201,63 @@ def segmented_cumsum_flat_pair(lo, hi, stride: int, seg: int):
 _DEAD_BIT = 1 << 30
 
 
+def compact_rows(values, s):
+    """In-row monotone left-compaction: like compact_flat but every live
+    element stays within its 128-lane row (shifts < 128), so each of the 7
+    rounds uses lane-only rolls with no cross-row carry.  `s` as in
+    compact_flat (per-slot remaining shift, -1 dead); `values` may be a
+    tuple."""
+    single = not isinstance(values, tuple)
+    vals = (values,) if single else values
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+    dead = jnp.full((), _DEAD_BIT, s.dtype)
+    s = jnp.where(s < 0, dead, s)
+    k = 1
+    while k < LANES:
+        ss = _roll(s, LANES - k, s.ndim - 1)               # s[l + k]
+        ss = jnp.where(cols < LANES - k, ss, dead)
+        incoming = (ss & k) != 0
+        move = (s & k) != 0
+        vals = tuple(jnp.where(incoming, _roll(v, LANES - k, v.ndim - 1), v)
+                     for v in vals)
+        s = jnp.where(incoming, ss - k, jnp.where(move, dead, s))
+        k <<= 1
+    return (vals[0] if single else vals), s
+
+
+def merge_rows_or(values, s):
+    """Monotone upward ROW compaction with OR-merge on equal destinations.
+
+    `values`: tuple of (R, 128) planes; `s`: (R, 128) int32, lane-broadcast
+    per-row upward shift (row - dest_row), non-decreasing over rows.  Rows
+    with equal destinations OR together (their spans occupy disjoint lanes
+    in this kernel's use).  LSB->MSB rounds of sublane rolls; at round k
+    all remaining shifts are multiples of k, so a mover landing on a
+    live stayer has the same destination (OR is correct) and vacated rows
+    become empty (replaced, not OR'd, by any later arrival)."""
+    vals = values
+    R = s.shape[-2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 2)
+    dead = jnp.full((), _DEAD_BIT, s.dtype)
+    k = 1
+    while k < R:
+        ss = _roll(s, R - k, s.ndim - 2)                   # s[r + k]
+        ss = jnp.where(rows < R - k, ss, dead)
+        incoming = (ss & k) != 0
+        move = (s & k) != 0
+        stay_live = (s != dead) & ~move
+        new_vals = []
+        for v in vals:
+            v_in = _roll(v, R - k, v.ndim - 2)
+            new_vals.append(jnp.where(
+                incoming & stay_live, v | v_in,
+                jnp.where(incoming, v_in, v)))
+        vals = tuple(new_vals)
+        s = jnp.where(incoming, ss - k, jnp.where(move, dead, s))
+        k <<= 1
+    return vals
+
+
 def _shift_flat_left_lax(x, k):
     """shift_flat_left without the end-of-array and tail-fill masking:
     positions whose shifted source falls past the end hold garbage.  Only

@@ -91,6 +91,43 @@ class TestRouting:
         back = np.where(flat_m, _flat(exp), 0)
         assert np.array_equal(back, np.where(flat_m, flat_v, 0))
 
+    @pytest.mark.parametrize("n_rows,density", [(37, 0.5), (265, 0.97),
+                                                (265, 0.05), (64, 1.0)])
+    def test_rowwise_compact_and_merge(self, n_rows, density):
+        """The encode kernel's two-phase compaction (in-row butterfly +
+        per-row rotation + OR-merge over rows) equals flat compaction."""
+        vals = RNG.integers(1, 2**32, (n_rows, 128), dtype=np.uint32)
+        valid = (RNG.random((n_rows, 128)) < density).astype(np.int32)
+        expect = vals.reshape(-1)[valid.reshape(-1).astype(bool)]
+
+        lane_cs = np.asarray(fv.lane_count_prefix(jnp.asarray(valid)))
+        cnt = np.broadcast_to(lane_cs[:, 127:], (n_rows, 128))
+        off = np.broadcast_to(
+            np.concatenate([[0], np.cumsum(cnt[:-1, 0])])[:, None],
+            (n_rows, 128)).astype(np.int32)
+        cols = np.broadcast_to(np.arange(128), (n_rows, 128))
+        rows = np.broadcast_to(np.arange(n_rows)[:, None], (n_rows, 128))
+        s_local = np.where(valid != 0, cols + 1 - lane_cs, -1)
+        (comp,), _ = fv.compact_rows(
+            (jnp.asarray(vals),), jnp.asarray(s_local.astype(np.int32)))
+        comp = np.asarray(comp)
+
+        rot = off & 127
+        prow = off >> 7
+        j = (cols - rot) & 127
+        can = j < cnt
+        rotated = np.take_along_axis(comp, j, axis=1)
+        h = np.where((cols >= rot) & can, rotated, 0).astype(np.uint32)
+        l = np.where((cols < rot) & can, rotated, 0).astype(np.uint32)
+        m_h, m_l = fv.merge_rows_or(
+            (jnp.asarray(h), jnp.asarray(l)),
+            jnp.asarray((rows - prow).astype(np.int32)))
+        m_h, m_l = np.asarray(m_h), np.asarray(m_l)
+        m_h = np.where(rows <= prow[-1, 0], m_h, 0)
+        m_l_dn = np.where(rows >= 1, np.roll(m_l, 1, axis=0), 0)
+        out = (m_h | m_l_dn).reshape(-1)[: expect.size]
+        assert np.array_equal(out, expect)
+
 
 class TestLayoutHelpers:
     def test_interleave_deinterleave_round_trip(self):
