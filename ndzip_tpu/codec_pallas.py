@@ -995,10 +995,31 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
             [jnp.zeros((1, LANES), jnp.int32), valid3.reshape(G * 33, LANES)], axis=0)
         valid = valid | carry_valid
 
-        csum = fv.flat_cumsum(valid, lane_matmul=True)
-        idx = rows * LANES + cols
-        s = jnp.where(valid != 0, idx + 1 - csum, -1)
-        (c_lo, c_hi), _ = fv.compact_flat((step_lo, step_hi), s)
+        # step compaction: same two-phase route as the fp32 kernel (in-row
+        # butterfly + per-row rotation + one OR-merge over rows), with both
+        # u32 planes co-routed through the tuple ops.
+        lane_cs = fv.lane_count_prefix(valid)
+        cnt = jnp.broadcast_to(lane_cs[:, LANES - 1 :], (R, LANES))
+        off = _row_prefix_excl(cnt, R)
+        csum = off + cnt
+        s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
+        (comp_lo, comp_hi), _ = fv.compact_rows((step_lo, step_hi), s_local)
+        rot = off & (LANES - 1)
+        prow = off >> 7
+        j = (cols - rot) & (LANES - 1)
+        can = j < cnt
+        rot_lo = jnp.take_along_axis(comp_lo, j, axis=1)
+        rot_hi = jnp.take_along_axis(comp_hi, j, axis=1)
+        is_h = (cols >= rot) & can
+        is_l = (cols < rot) & can
+        parts = (jnp.where(is_h, rot_lo, _u32(0)), jnp.where(is_l, rot_lo, _u32(0)),
+                 jnp.where(is_h, rot_hi, _u32(0)), jnp.where(is_l, rot_hi, _u32(0)))
+        mh_lo, ml_lo, mh_hi, ml_hi = fv.merge_rows_or(parts, rows - prow)
+        prow_last = jnp.broadcast_to(prow[R - 1 :, :], (R, LANES))
+        live_h = rows <= prow_last
+        dn = lambda m: jnp.where(rows >= 1, pltpu.roll(m, shift=1, axis=0), _u32(0))
+        c_lo = jnp.where(live_h, mh_lo, _u32(0)) | dn(ml_lo)
+        c_hi = jnp.where(live_h, mh_hi, _u32(0)) | dn(ml_hi)
         stag_lo[:] = c_lo
         stag_hi[:] = c_hi
         # interleave the compacted planes into u32 stream rows in-kernel
