@@ -28,6 +28,9 @@ import numpy as np
 
 from . import format as fmt
 from .ops import bitops, u64pair
+from .utils import maybe_enable_compilation_cache
+
+maybe_enable_compilation_cache()
 
 # ------------------------------------------------------------------ geometry
 

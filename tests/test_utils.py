@@ -37,3 +37,18 @@ def test_device_time_ns():
     x = jnp.asarray(np.arange(1024, dtype=np.float32))
     ns = utils.device_time_ns(lambda a: a * 2, x)
     assert ns > 0
+
+
+def test_compilation_cache(tmp_path, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    cache = tmp_path / "xla-cache"
+    got = utils.enable_compilation_cache(str(cache))
+    assert got == str(cache) and cache.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+    # jitted programs still run with the cache enabled
+    assert int(jax.jit(lambda a: a + 1)(jnp.int32(1))) == 2
+    # maybe_* is a no-op without the env var (no exception, no state)
+    monkeypatch.delenv("NDZIP_TPU_CACHE_DIR", raising=False)
+    utils.maybe_enable_compilation_cache()
