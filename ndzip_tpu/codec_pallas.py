@@ -43,15 +43,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import format as fmt
 from .ops import flatvec as fv
+from .utils import maybe_enable_compilation_cache
+
+maybe_enable_compilation_cache()
 
 LANES = 128
 
 #: set True (e.g. in CPU tests) to run kernels in the Pallas interpreter
 INTERPRET = False
 
-# grid-step batch size (blocks per step)
-G_ENC = 8
-G_DEC = 8
+# grid-step batch size (blocks per step) — the TPU analog of the
+# reference's NDZIP_GPU_GROUP_SIZE knob, chosen by measurement on v5e.
+# Bigger G amortizes per-step DMA/scalar overhead until the ~16 MB VMEM
+# budget binds (fp64 decode holds two planes + double-buffered windows).
+G_ENC = 16       # encode, both dtypes
+G_DEC = 32       # fp32 decode
+G_DEC64 = 16     # fp64 decode (G=32 exceeds scoped VMEM)
 
 # strided-axis parameters of the block transform on the flat 4096-word
 # layout, in forward axis order (format.FORWARD_AXIS_ORDER):
@@ -214,20 +221,25 @@ def blocks_to_tile_2d(blocks, G):
 
 
 def tile_to_blocks_3d(tile, G):
-    """(16, 16, G*16) -> (G, 32, 128):
-    out[b, 2z+h, 16*y9+x] = tile[z, 8h+y9, 16b+x]."""
-    t = tile.reshape(16, 2, 8, G * 16)                 # [z, h, y9, lane]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (G, 32, LANES), 2)
-    b = jax.lax.broadcasted_iota(jnp.int32, (G, 32, LANES), 0)
-    idx = (b << 4) + (cols & 15)
-    out = jnp.zeros((G, 32, LANES), tile.dtype)
-    for y9 in range(8):
-        part = t[:, :, y9, :].reshape(32, G * 16)      # rows 2z+h
-        src = jnp.broadcast_to(part, (G, 32, G * 16))
-        g = jnp.take_along_axis(
-            src.reshape(G * 32, G * 16), idx.reshape(G * 32, LANES), axis=1)
-        out = jnp.where((cols >> 4) == y9, g.reshape(G, 32, LANES), out)
-    return out
+    """(16, 16, G*16) -> (G, 32, 128): out[b, 2z+h, 16*y9+x] =
+    tile[z, 8h+y9, 16b+x].  Processed in 128-lane slices of 8 blocks —
+    a slice's blocks source only its own lane tile, and Mosaic gathers
+    within one lane tile only.  Requires G % 8 == 0."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (8, 32, LANES), 2)
+    b8 = jax.lax.broadcasted_iota(jnp.int32, (8, 32, LANES), 0)
+    idx = (b8 << 4) + (cols & 15)
+    outs = []
+    for t in range(G // 8):
+        sub = tile[:, :, 128 * t : 128 * (t + 1)].reshape(16, 2, 8, LANES)
+        out = jnp.zeros((8, 32, LANES), tile.dtype)
+        for y9 in range(8):
+            part = sub[:, :, y9, :].reshape(32, LANES)  # rows 2z+h
+            src = jnp.broadcast_to(part, (8, 32, LANES))
+            g = jnp.take_along_axis(
+                src.reshape(8 * 32, LANES), idx.reshape(8 * 32, LANES), axis=1)
+            out = jnp.where((cols >> 4) == y9, g.reshape(8, 32, LANES), out)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 def blocks_to_tile_3d(blocks, G):
@@ -375,15 +387,13 @@ def _block_cumsum_pair(lo, hi):
 
 def _tiled_layout(shape, dims, G):
     """(block_shape, index_map) for the tiled fast path (multi-block tiles
-    DMA'd straight to/from the interior array; see the tile-adapter
-    section), or None when the minor block-grid axis is not a multiple of
-    G or a trailing axis has a border (then the interior slice would be a
-    strided copy that costs more than the XLA gather it replaces).
+    DMA'd straight to/from the FULL array; see the tile-adapter section),
+    or None when the minor block-grid axis is not a multiple of G.
+    Border axes are fine: every indexed tile starts at a multiple of the
+    block shape and ends inside the array, so the pipeline DMAs never
+    touch the border region (which is stored raw, outside the kernels).
     index_map takes the grid step only (wrap for scalar-prefetch specs)."""
     grid = fmt.grid_shape(shape)
-    side = fmt.SIDE_LENGTH[dims]
-    if any(s % side for s in shape[1:]):
-        return None
     if dims == 2 and grid[1] % G == 0:
         gx = grid[1] // G
         return (64, G * 64), lambda g: (g // gx, g % gx)
@@ -401,6 +411,20 @@ def _tiled_input_spec(shape, dims, G):
         return None
     block_shape, imap = layout
     return pl.BlockSpec(block_shape, imap)
+
+
+def _g_tiled(shape, dims, largest):
+    """Largest grid-batch size <= `largest` with a tiled layout for this
+    shape (the minor block-grid axis must divide), or None when no
+    candidate fits — then the XLA gather/scatter route runs at the full
+    flat-path G instead.  Below G=8 the per-step overhead outweighs the
+    gather/scatter it avoids, so small divisors fall back too."""
+    G = largest
+    while G >= 8:
+        if _tiled_layout(shape, dims, G) is not None:
+            return G
+        G //= 2
+    return None
 
 
 def _load_blocks(blocks_ref, mode, G):
@@ -460,14 +484,16 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         valid = valid | carry_valid
 
         # step compaction: in-row butterfly (7 lane-only rounds), per-row
-        # rotation to the global lane offset, then ONE tuple OR-merge over
-        # rows places every row's (<=2-output-row) span — H parts at
-        # prow_r, L parts (the lane wrap) at prow_r + 1 via a 1-row shift
-        # of the co-routed plane.
+        # rotation to the global lane offset, then ONE single-plane OR-merge
+        # over rows.  A row's rotated span covers <=2 output rows: lanes
+        # >= rot go to prow, the wrap (lanes < rot) to prow + 1 — encoded
+        # as per-slot shifts in the same butterfly.  Per lane the live
+        # destinations are monotone (a wrapping row forces every later row
+        # to a strictly larger prow, and tied destinations occupy disjoint
+        # lanes), which is exactly merge_rows_or's contract.
         lane_cs = fv.lane_count_prefix(valid)
         cnt = jnp.broadcast_to(lane_cs[:, LANES - 1 :], (R, LANES))
         off = _row_prefix_excl(cnt, R)
-        incl = off + cnt
         s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
         (comp,), _ = fv.compact_rows((step_flat,), s_local)
         rot = off & (LANES - 1)
@@ -475,17 +501,12 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         j = (cols - rot) & (LANES - 1)
         can = j < cnt
         rotated = jnp.take_along_axis(comp, j, axis=1)
-        h_part = jnp.where((cols >= rot) & can, rotated, _u32(0))
-        l_part = jnp.where((cols < rot) & can, rotated, _u32(0))
-        m_h, m_l = fv.merge_rows_or((h_part, l_part), rows - prow)
-        # rows past the last H destination hold stale values (the merge
-        # only replaces slots that receive something); the row at
-        # prow_max+1 is still a live L destination, so mask m_h there
-        prow_last = jnp.broadcast_to(prow[R - 1 :, :], (R, LANES))
-        m_h = jnp.where(rows <= prow_last, m_h, _u32(0))
-        m_l_dn = jnp.where(rows >= 1, pltpu.roll(m_l, shift=1, axis=0), _u32(0))
-        staging[:] = m_h | m_l_dn
-        csum = incl
+        part = jnp.where(can, rotated, _u32(0))
+        s_merge = jnp.where(
+            can, rows - prow - (cols < rot).astype(jnp.int32), -1)
+        (merged,) = fv.merge_rows_or((part,), s_merge)
+        staging[:] = merged
+        csum = off + cnt
 
         # ---- header entries: offset-after for each block of this step
         ends = csum[1:].reshape(G, 33, LANES)[:, 32, LANES - 1 :]  # (G, 1)
@@ -559,13 +580,13 @@ def _encode_blocks_fp32(blocks, dims, num_hc, start_word=None):
     return body, hdr
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _encode_interior_fp32(interior, shape, num_hc):
-    """Tiled fast-path encode: `interior` is the block-aligned region of
-    the array; multi-block tiles are DMA'd directly by the pipeline (no
-    XLA gather transpose) and rearranged in-VMEM."""
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _encode_interior_fp32(words, shape, num_hc, G):
+    """Tiled fast-path encode over the full array: multi-block tiles are
+    DMA'd directly by the pipeline (no XLA gather transpose) and
+    rearranged in-VMEM; border regions are never indexed (see
+    _tiled_layout)."""
     dims = len(shape)
-    G = G_ENC
     in_spec = _tiled_input_spec(shape, dims, G)
     nsteps = num_hc // G
     R = 1 + G * 33
@@ -590,7 +611,7 @@ def _encode_interior_fp32(interior, shape, num_hc):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=INTERPRET,
-    )(interior)
+    )(words)
     return body, hdr
 
 
@@ -754,21 +775,19 @@ def _decode_blocks_fp32(stream2d, starts, dims, num_hc):
     return blocks.reshape(nb_pad, fmt.HC_SIZE)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _decode_interior_fp32(stream2d, starts, shape, num_hc):
-    """Tiled fast-path decode: writes the interior array directly via
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _decode_interior_fp32(stream2d, starts, shape, num_hc, G):
+    """Tiled fast-path decode: writes the full-shape array directly via
     tiled out BlockSpecs (the pipeline DMAs the rearranged tiles; no XLA
     scatter transpose).  Requires _tiled_layout(shape) and num_hc % G == 0
-    (guaranteed by the divisibility condition)."""
+    (guaranteed by the divisibility condition).  Border elements are left
+    uninitialized — the caller's border scatter covers exactly the
+    complement of the tiles."""
     dims = len(shape)
-    G = G_DEC
     nsteps = num_hc // G
     block_shape, imap = _tiled_layout(shape, dims, G)
     mode = "tile2d" if dims == 2 else "tile3d"
     kernel = _decode_kernel_fp32(dims, num_hc, G, nsteps, mode)
-    side = fmt.SIDE_LENGTH[dims]
-    grid = fmt.grid_shape(shape)
-    interior_shape = tuple(g * side for g in grid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
@@ -785,7 +804,7 @@ def _decode_interior_fp32(stream2d, starts, shape, num_hc):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(interior_shape, jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.uint32),
         interpret=INTERPRET,
     )(starts, stream2d)
 
@@ -996,8 +1015,9 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         valid = valid | carry_valid
 
         # step compaction: same two-phase route as the fp32 kernel (in-row
-        # butterfly + per-row rotation + one OR-merge over rows), with both
-        # u32 planes co-routed through the tuple ops.
+        # butterfly + per-row rotation + one single-plane-per-plane OR-merge
+        # over rows, wrap encoded as per-slot shifts), with both u32 planes
+        # co-routed on the shared shift plane.
         lane_cs = fv.lane_count_prefix(valid)
         cnt = jnp.broadcast_to(lane_cs[:, LANES - 1 :], (R, LANES))
         off = _row_prefix_excl(cnt, R)
@@ -1008,18 +1028,11 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         prow = off >> 7
         j = (cols - rot) & (LANES - 1)
         can = j < cnt
-        rot_lo = jnp.take_along_axis(comp_lo, j, axis=1)
-        rot_hi = jnp.take_along_axis(comp_hi, j, axis=1)
-        is_h = (cols >= rot) & can
-        is_l = (cols < rot) & can
-        parts = (jnp.where(is_h, rot_lo, _u32(0)), jnp.where(is_l, rot_lo, _u32(0)),
-                 jnp.where(is_h, rot_hi, _u32(0)), jnp.where(is_l, rot_hi, _u32(0)))
-        mh_lo, ml_lo, mh_hi, ml_hi = fv.merge_rows_or(parts, rows - prow)
-        prow_last = jnp.broadcast_to(prow[R - 1 :, :], (R, LANES))
-        live_h = rows <= prow_last
-        dn = lambda m: jnp.where(rows >= 1, pltpu.roll(m, shift=1, axis=0), _u32(0))
-        c_lo = jnp.where(live_h, mh_lo, _u32(0)) | dn(ml_lo)
-        c_hi = jnp.where(live_h, mh_hi, _u32(0)) | dn(ml_hi)
+        part_lo = jnp.where(can, jnp.take_along_axis(comp_lo, j, axis=1), _u32(0))
+        part_hi = jnp.where(can, jnp.take_along_axis(comp_hi, j, axis=1), _u32(0))
+        s_merge = jnp.where(
+            can, rows - prow - (cols < rot).astype(jnp.int32), -1)
+        c_lo, c_hi = fv.merge_rows_or((part_lo, part_hi), s_merge)
         stag_lo[:] = c_lo
         stag_hi[:] = c_hi
         # interleave the compacted planes into u32 stream rows in-kernel
@@ -1099,11 +1112,10 @@ def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None):
     return body, hdr
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _encode_interior_fp64(int_lo, int_hi, shape, num_hc):
-    """Tiled fast-path fp64 encode over (lo, hi) interior plane arrays."""
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _encode_interior_fp64(lo, hi, shape, num_hc, G):
+    """Tiled fast-path fp64 encode over the full (lo, hi) plane arrays."""
     dims = len(shape)
-    G = G_ENC
     block_shape, imap = _tiled_layout(shape, dims, G)
     nsteps = num_hc // G
     R = 1 + G * 33
@@ -1133,7 +1145,7 @@ def _encode_interior_fp64(int_lo, int_hi, shape, num_hc):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=INTERPRET,
-    )(int_lo, int_hi)
+    )(lo, hi)
     return body, hdr
 
 
@@ -1159,14 +1171,11 @@ def _encode_fp64_device(lo, hi, shape):
             out = jax.lax.dynamic_update_slice(out, border_vals_u32(), (0,))
         return out, jnp.int32(2 * border_idx.size)
 
-    G = G_ENC
-    if _tiled_layout(shape, dims, G) is not None:
-        side = fmt.SIDE_LENGTH[dims]
-        grid = fmt.grid_shape(shape)
-        interior = tuple(slice(0, g * side) for g in grid)
-        body2d, hdr2d = _encode_interior_fp64(
-            lo[interior], hi[interior], shape, num_hc)
+    G = _g_tiled(shape, dims, G_ENC)
+    if G is not None:
+        body2d, hdr2d = _encode_interior_fp64(lo, hi, shape, num_hc, G)
     else:
+        G = G_ENC
         b_lo = _gather_blocks_xla(lo, shape)
         b_hi = _gather_blocks_xla(hi, shape)
         nb_pad = (num_hc + G - 1) // G * G
@@ -1289,7 +1298,7 @@ def _decode_blocks_fp64(stream2d, starts, dims, num_hc):
     """stream2d: (rows,128) u32 padded interleaved stream; starts:
     (nb_pad,) i32 u64-word offsets of each block (incl. header)."""
     nb_pad = starts.shape[0]
-    G = G_DEC
+    G = G_DEC64
     nsteps = nb_pad // G
     kernel = _decode_kernel_fp64(dims, num_hc, G, nsteps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1317,19 +1326,16 @@ def _decode_blocks_fp64(stream2d, starts, dims, num_hc):
     return b_lo.reshape(nb_pad, fmt.HC_SIZE), b_hi.reshape(nb_pad, fmt.HC_SIZE)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _decode_interior_fp64(stream2d, starts, shape, num_hc):
-    """Tiled fast-path fp64 decode: writes the (lo, hi) interior plane
-    arrays directly via tiled out BlockSpecs."""
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _decode_interior_fp64(stream2d, starts, shape, num_hc, G):
+    """Tiled fast-path fp64 decode: writes the full-shape (lo, hi) plane
+    arrays directly via tiled out BlockSpecs (borders left to the
+    caller's scatter, as in _decode_interior_fp32)."""
     dims = len(shape)
-    G = G_DEC
     nsteps = num_hc // G
     block_shape, imap = _tiled_layout(shape, dims, G)
     mode = "tile2d" if dims == 2 else "tile3d"
     kernel = _decode_kernel_fp64(dims, num_hc, G, nsteps, mode)
-    side = fmt.SIDE_LENGTH[dims]
-    grid = fmt.grid_shape(shape)
-    interior_shape = tuple(g * side for g in grid)
     out_spec = pl.BlockSpec(block_shape, lambda g, starts: imap(g),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1347,8 +1353,8 @@ def _decode_interior_fp64(stream2d, starts, shape, num_hc):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct(interior_shape, jnp.uint32),
-                   jax.ShapeDtypeStruct(interior_shape, jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct(shape, jnp.uint32),
+                   jax.ShapeDtypeStruct(shape, jnp.uint32)),
         interpret=INTERPRET,
     )(starts, stream2d)
 
@@ -1368,7 +1374,8 @@ def _decode_fp64_device(stream, shape):
     flat_hi = jnp.zeros(total, jnp.uint32)
     body_total = jnp.int32(0)  # u64 words
     if num_hc:
-        G = G_DEC
+        G_t = _g_tiled(shape, dims, G_DEC64)
+        G = G_t if G_t is not None else G_DEC64
         nb_pad = (num_hc + G - 1) // G * G
         offsets = jax.lax.bitcast_convert_type(stream[:num_hc], jnp.int32)
         starts_blocks = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets[:-1]])
@@ -1381,13 +1388,10 @@ def _decode_fp64_device(stream, shape):
 
         rows32 = stream.shape[0] // LANES
         stream2d = stream[: rows32 * LANES].reshape(rows32, LANES)
-        if _tiled_layout(shape, dims, G) is not None:
-            int_lo, int_hi = _decode_interior_fp64(stream2d, starts, shape, num_hc)
-            side = fmt.SIDE_LENGTH[dims]
-            grid = fmt.grid_shape(shape)
-            region = tuple(slice(0, g * side) for g in grid)
-            flat_lo = flat_lo.reshape(shape).at[region].set(int_lo).reshape(-1)
-            flat_hi = flat_hi.reshape(shape).at[region].set(int_hi).reshape(-1)
+        if G_t is not None:
+            int_lo, int_hi = _decode_interior_fp64(
+                stream2d, starts, shape, num_hc, G_t)
+            flat_lo, flat_hi = int_lo.reshape(-1), int_hi.reshape(-1)
         else:
             b_lo, b_hi = _decode_blocks_fp64(stream2d, starts, dims, num_hc)
             flat_lo = _scatter_blocks_xla(b_lo[:num_hc], shape, flat_lo)
@@ -1457,13 +1461,11 @@ def _encode_fp32_device(words, shape):
                 out, words.reshape(-1)[jnp.asarray(border_idx)], (0,))
         return out, jnp.int32(border_idx.size)
 
-    G = G_ENC
-    if _tiled_input_spec(shape, dims, G) is not None:
-        side = fmt.SIDE_LENGTH[dims]
-        grid = fmt.grid_shape(shape)
-        interior = words[tuple(slice(0, g * side) for g in grid)]
-        body2d, hdr2d = _encode_interior_fp32(interior, shape, num_hc)
+    G = _g_tiled(shape, dims, G_ENC)
+    if G is not None:
+        body2d, hdr2d = _encode_interior_fp32(words, shape, num_hc, G)
     else:
+        G = G_ENC
         blocks = _gather_blocks_xla(words, shape)
         nb_pad = (num_hc + G - 1) // G * G
         if nb_pad != num_hc:
@@ -1495,7 +1497,8 @@ def _decode_fp32_device(stream, shape):
     flat = jnp.zeros(total, jnp.uint32)
     body_total = jnp.int32(0)
     if num_hc:
-        G = G_DEC
+        G_t = _g_tiled(shape, dims, G_DEC)
+        G = G_t if G_t is not None else G_DEC
         nb_pad = (num_hc + G - 1) // G * G
         offsets = jax.lax.bitcast_convert_type(stream[:num_hc], jnp.int32)
         starts_blocks = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets[:-1]])
@@ -1508,13 +1511,9 @@ def _decode_fp32_device(stream, shape):
 
         rows = (stream.shape[0]) // LANES
         stream2d = stream[: rows * LANES].reshape(rows, LANES)
-        if _tiled_layout(shape, dims, G) is not None:
-            interior = _decode_interior_fp32(stream2d, starts, shape, num_hc)
-            side = fmt.SIDE_LENGTH[dims]
-            grid = fmt.grid_shape(shape)
-            full = flat.reshape(shape)
-            full = full.at[tuple(slice(0, g * side) for g in grid)].set(interior)
-            flat = full.reshape(-1)
+        if G_t is not None:
+            flat = _decode_interior_fp32(
+                stream2d, starts, shape, num_hc, G_t).reshape(-1)
         else:
             blocks = _decode_blocks_fp32(stream2d, starts, dims, num_hc)
             flat = _scatter_blocks_xla(blocks[:num_hc], shape, flat)

@@ -228,17 +228,21 @@ def compact_rows(values, s):
 def merge_rows_or(values, s):
     """Monotone upward ROW compaction with OR-merge on equal destinations.
 
-    `values`: tuple of (R, 128) planes; `s`: (R, 128) int32, lane-broadcast
-    per-row upward shift (row - dest_row), non-decreasing over rows.  Rows
-    with equal destinations OR together (their spans occupy disjoint lanes
-    in this kernel's use).  LSB->MSB rounds of sublane rolls; at round k
-    all remaining shifts are multiples of k, so a mover landing on a
-    live stayer has the same destination (OR is correct) and vacated rows
-    become empty (replaced, not OR'd, by any later arrival)."""
+    `values`: tuple of (R, 128) planes; `s`: (R, 128) int32 per-slot upward
+    shift (row - dest_row), -1 for dead slots.  Lane columns are fully
+    independent row butterflies; within each lane the live destinations
+    must be non-decreasing over rows, and slots with equal destinations OR
+    together (they occupy disjoint lanes in the kernels' use, so the OR is
+    collision-free).  LSB->MSB rounds of sublane rolls; at round k all
+    remaining live shifts are multiples of k, so a mover landing on a live
+    stayer has the same destination (remaining shifts equal — the merged
+    slot keeps routing correctly) and vacated slots go dead (replaced, not
+    OR'd, by any later arrival)."""
     vals = values
     R = s.shape[-2]
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 2)
     dead = jnp.full((), _DEAD_BIT, s.dtype)
+    s = jnp.where(s < 0, dead, s)
     k = 1
     while k < R:
         ss = _roll(s, R - k, s.ndim - 2)                   # s[r + k]

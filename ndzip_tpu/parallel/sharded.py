@@ -290,7 +290,7 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
     heads_n = fmt.HC_SIZE // wb
     win = heads_n + fmt.HC_SIZE  # words per window
     local_hc = per_shard
-    G = codec_pallas.G_DEC
+    G = codec_pallas.G_DEC if wb == 32 else codec_pallas.G_DEC64
     nb_pad = (local_hc + G - 1) // G * G
 
     def _pallas_starts(starts_abs):

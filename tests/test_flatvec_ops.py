@@ -116,17 +116,15 @@ class TestRouting:
         prow = off >> 7
         j = (cols - rot) & 127
         can = j < cnt
-        rotated = np.take_along_axis(comp, j, axis=1)
-        h = np.where((cols >= rot) & can, rotated, 0).astype(np.uint32)
-        l = np.where((cols < rot) & can, rotated, 0).astype(np.uint32)
-        m_h, m_l = fv.merge_rows_or(
-            (jnp.asarray(h), jnp.asarray(l)),
-            jnp.asarray((rows - prow).astype(np.int32)))
-        m_h, m_l = np.asarray(m_h), np.asarray(m_l)
-        m_h = np.where(rows <= prow[-1, 0], m_h, 0)
-        m_l_dn = np.where(rows >= 1, np.roll(m_l, 1, axis=0), 0)
-        out = (m_h | m_l_dn).reshape(-1)[: expect.size]
+        part = np.where(can, np.take_along_axis(comp, j, axis=1), 0)
+        s_merge = np.where(can, rows - prow - (cols < rot), -1)
+        # co-routed plane pair exercises the tuple path (fp64 kernels)
+        m, m2 = fv.merge_rows_or(
+            (jnp.asarray(part.astype(np.uint32)), jnp.asarray(~part.astype(np.uint32))),
+            jnp.asarray(s_merge.astype(np.int32)))
+        out = np.asarray(m).reshape(-1)[: expect.size]
         assert np.array_equal(out, expect)
+        assert np.array_equal(np.asarray(m2).reshape(-1)[: expect.size], ~expect)
 
 
 class TestLayoutHelpers:
