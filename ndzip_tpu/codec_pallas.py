@@ -427,6 +427,55 @@ def _g_tiled(shape, dims, largest):
     return None
 
 
+def _g_tiled_padded(shape, dims, largest, max_pad=0.2):
+    """(G, gx) for the PADDED tiled decode: the minor block-grid axis is
+    rounded up to gx tiles of G blocks each, the shortfall filled with
+    fake blocks.  Fake blocks re-decode the row's last real block into
+    tile regions that are either clipped (outside the array) or border
+    cells that the caller's scatter overwrites, so they only cost
+    throughput — accepted while the padding fraction is <= max_pad.
+    Returns None for 1D or when every candidate pads too much (the
+    gather route is better then)."""
+    if dims == 1:
+        return None
+    grid = fmt.grid_shape(shape)
+    side = fmt.SIDE_LENGTH[dims]
+    if any(s < side for s in shape):
+        return None                       # no full blocks at all
+    gm = grid[-1]
+    G = largest
+    while G >= 8:
+        gx = -(-gm // G)
+        if (gx * G - gm) / gm <= max_pad:
+            return G, gx
+        G //= 2
+    return None
+
+
+def _tiled_layout_padded(shape, dims, G, gx):
+    """(block_shape, index_map, nb_padded) over the G-padded block grid
+    (see _g_tiled_padded).  The minor-axis tile gx-1 may extend past the
+    array; the pipeline clips those reads/writes."""
+    grid = fmt.grid_shape(shape)
+    if dims == 2:
+        return (64, G * 64), (lambda g: (g // gx, g % gx)), grid[0] * gx * G
+    gy = grid[1]
+    return ((16, 16, G * 16),
+            (lambda g: (g // (gy * gx), (g // gx) % gy, g % gx)),
+            grid[0] * gy * gx * G)
+
+
+def _padded_block_ids(shape, dims, G, gx):
+    """Real-block index for every padded-grid block id (fake slots clamp
+    to their row's last real block, whose window stays in-bounds)."""
+    grid = fmt.grid_shape(shape)
+    gm = grid[-1]
+    lead = int(np.prod(grid[:-1]))
+    ids = np.arange(lead * gx * G)
+    row, col = ids // (gx * G), ids % (gx * G)
+    return (row * gm + np.minimum(col, gm - 1)).astype(np.int32)
+
+
 def _load_blocks(blocks_ref, mode, G):
     if mode == "tile2d":
         return tile_to_blocks_2d(blocks_ref[:], G)
@@ -638,19 +687,22 @@ def _row_prefix_excl(x, nrows):
 def _select_window_rows(P_f32, w):
     """Data-dependent row selection as an MXU one-hot matmul: P_f32 is a
     (G, R_out, W) one-hot over source rows, w a (G, W, 128) uint32 window.
-    Exact: u16 halves in f32 (values < 2^16 << 2^24)."""
+    u8 quarters at DEFAULT precision: the MXU's bf16 input rounding is
+    exact for 0/1 one-hots and byte values <= 255, each output slot
+    receives exactly one nonzero product, and f32 accumulation keeps it
+    exact — 4 single-pass bf16 matmuls beat 2 u16-half matmuls at
+    Precision.HIGHEST (which multi-passes the MXU)."""
     dn = (((2,), (1,)), ((0,), (0,)))
-    # Mosaic has no direct uint32<->float32 casts; route through int32
-    # (all values fit in 16 bits, far below both int32 and f32 exactness).
-    # Precision.HIGHEST is required: the default MXU f32 matmul rounds
-    # inputs to bf16, corrupting 16-bit integer payloads.
-    w_lo = (w & _u32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
-    w_hi = (w >> _u32(16)).astype(jnp.int32).astype(jnp.float32)
-    lo = jax.lax.dot_general(P_f32, w_lo, dn, precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-    hi = jax.lax.dot_general(P_f32, w_hi, dn, precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-    return ((hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)).astype(jnp.uint32)
+    # Mosaic has no direct uint32<->float32 casts; route through int32.
+    P = P_f32.astype(jnp.bfloat16)
+    out = None
+    for sh in (0, 8, 16, 24):
+        q = ((w >> _u32(sh)) & _u32(0xFF)).astype(jnp.int32)
+        qb = q.astype(jnp.float32).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            P, qb, dn, preferred_element_type=jnp.float32).astype(jnp.int32)
+        out = s if out is None else out | (s << sh)
+    return out.astype(jnp.uint32)
 
 
 def _store_blocks(out_ref, xf, mode, G):
@@ -729,8 +781,10 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat"):
 
         q = jax.lax.broadcasted_iota(jnp.int32, (G, 32, WIN_ROWS), 2)
         p_col = p[:, :, 0:1]
-        A = _select_window_rows((q == p_col).astype(jnp.float32), w)
-        B = _select_window_rows((q == p_col + 1).astype(jnp.float32), w)
+        P12 = jnp.concatenate(
+            [(q == p_col), (q == p_col + 1)], axis=1).astype(jnp.float32)
+        AB = _select_window_rows(P12, w)        # one fused matmul set
+        A, B = AB[:, :32, :], AB[:, 32:, :]
 
         src = rot + lane_cs - 1                                 # in [0, 255)
         val = jnp.where(src < LANES,
@@ -775,17 +829,16 @@ def _decode_blocks_fp32(stream2d, starts, dims, num_hc):
     return blocks.reshape(nb_pad, fmt.HC_SIZE)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _decode_interior_fp32(stream2d, starts, shape, num_hc, G):
-    """Tiled fast-path decode: writes the full-shape array directly via
-    tiled out BlockSpecs (the pipeline DMAs the rearranged tiles; no XLA
-    scatter transpose).  Requires _tiled_layout(shape) and num_hc % G == 0
-    (guaranteed by the divisibility condition).  Border elements are left
-    uninitialized — the caller's border scatter covers exactly the
-    complement of the tiles."""
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _decode_interior_fp32(stream2d, starts, shape, num_hc, G, gx):
+    """Tiled fast-path decode over the G-padded block grid: writes the
+    full-shape array directly via tiled out BlockSpecs (the pipeline DMAs
+    the rearranged tiles; no XLA scatter transpose).  `starts` is in
+    padded-grid order (_padded_block_ids); fake blocks and border
+    elements land in clipped or scatter-overwritten regions."""
     dims = len(shape)
-    nsteps = num_hc // G
-    block_shape, imap = _tiled_layout(shape, dims, G)
+    block_shape, imap, nb_padded = _tiled_layout_padded(shape, dims, G, gx)
+    nsteps = nb_padded // G
     mode = "tile2d" if dims == 2 else "tile3d"
     kernel = _decode_kernel_fp32(dims, num_hc, G, nsteps, mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1270,12 +1323,12 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat"):
 
         q = jax.lax.broadcasted_iota(jnp.int32, (G, 32, WIN_ROWS), 2)
         p_col = p[:, :, 0:1]
-        P1 = (q == p_col).astype(jnp.float32)
-        P2 = (q == p_col + 1).astype(jnp.float32)
-        A_lo = _select_window_rows(P1, win_lo)
-        A_hi = _select_window_rows(P1, win_hi)
-        B_lo = _select_window_rows(P2, win_lo)
-        B_hi = _select_window_rows(P2, win_hi)
+        P12 = jnp.concatenate(
+            [(q == p_col), (q == p_col + 1)], axis=1).astype(jnp.float32)
+        AB_lo = _select_window_rows(P12, win_lo)
+        AB_hi = _select_window_rows(P12, win_hi)
+        A_lo, B_lo = AB_lo[:, :32, :], AB_lo[:, 32:, :]
+        A_hi, B_hi = AB_hi[:, :32, :], AB_hi[:, 32:, :]
 
         src = rot + lane_cs - 1
         srcm = src & (LANES - 1)
@@ -1326,14 +1379,14 @@ def _decode_blocks_fp64(stream2d, starts, dims, num_hc):
     return b_lo.reshape(nb_pad, fmt.HC_SIZE), b_hi.reshape(nb_pad, fmt.HC_SIZE)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _decode_interior_fp64(stream2d, starts, shape, num_hc, G):
-    """Tiled fast-path fp64 decode: writes the full-shape (lo, hi) plane
-    arrays directly via tiled out BlockSpecs (borders left to the
-    caller's scatter, as in _decode_interior_fp32)."""
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _decode_interior_fp64(stream2d, starts, shape, num_hc, G, gx):
+    """Tiled fast-path fp64 decode over the G-padded block grid: writes
+    the full-shape (lo, hi) plane arrays directly via tiled out
+    BlockSpecs (fake blocks / borders as in _decode_interior_fp32)."""
     dims = len(shape)
-    nsteps = num_hc // G
-    block_shape, imap = _tiled_layout(shape, dims, G)
+    block_shape, imap, nb_padded = _tiled_layout_padded(shape, dims, G, gx)
+    nsteps = nb_padded // G
     mode = "tile2d" if dims == 2 else "tile3d"
     kernel = _decode_kernel_fp64(dims, num_hc, G, nsteps, mode)
     out_spec = pl.BlockSpec(block_shape, lambda g, starts: imap(g),
@@ -1374,25 +1427,27 @@ def _decode_fp64_device(stream, shape):
     flat_hi = jnp.zeros(total, jnp.uint32)
     body_total = jnp.int32(0)  # u64 words
     if num_hc:
-        G_t = _g_tiled(shape, dims, G_DEC64)
-        G = G_t if G_t is not None else G_DEC64
-        nb_pad = (num_hc + G - 1) // G * G
         offsets = jax.lax.bitcast_convert_type(stream[:num_hc], jnp.int32)
         starts_blocks = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets[:-1]])
         body_total = offsets[num_hc - 1]
-        if nb_pad != num_hc:
-            starts_blocks = jnp.concatenate(
-                [starts_blocks,
-                 jnp.broadcast_to(starts_blocks[num_hc - 1], (nb_pad - num_hc,))])
-        starts = hw + starts_blocks  # u64-word offsets incl. header
+        starts_full = hw + starts_blocks  # u64-word offsets incl. header
 
         rows32 = stream.shape[0] // LANES
         stream2d = stream[: rows32 * LANES].reshape(rows32, LANES)
-        if G_t is not None:
+        tc = _g_tiled_padded(shape, dims, G_DEC64)
+        if tc is not None:
+            G_t, gx = tc
+            ids = jnp.asarray(_padded_block_ids(shape, dims, G_t, gx))
             int_lo, int_hi = _decode_interior_fp64(
-                stream2d, starts, shape, num_hc, G_t)
+                stream2d, starts_full[ids], shape, num_hc, G_t, gx)
             flat_lo, flat_hi = int_lo.reshape(-1), int_hi.reshape(-1)
         else:
+            nb_pad = (num_hc + G_DEC64 - 1) // G_DEC64 * G_DEC64
+            starts = starts_full
+            if nb_pad != num_hc:
+                starts = jnp.concatenate(
+                    [starts,
+                     jnp.broadcast_to(starts[num_hc - 1], (nb_pad - num_hc,))])
             b_lo, b_hi = _decode_blocks_fp64(stream2d, starts, dims, num_hc)
             flat_lo = _scatter_blocks_xla(b_lo[:num_hc], shape, flat_lo)
             flat_hi = _scatter_blocks_xla(b_hi[:num_hc], shape, flat_hi)
@@ -1497,24 +1552,26 @@ def _decode_fp32_device(stream, shape):
     flat = jnp.zeros(total, jnp.uint32)
     body_total = jnp.int32(0)
     if num_hc:
-        G_t = _g_tiled(shape, dims, G_DEC)
-        G = G_t if G_t is not None else G_DEC
-        nb_pad = (num_hc + G - 1) // G * G
         offsets = jax.lax.bitcast_convert_type(stream[:num_hc], jnp.int32)
         starts_blocks = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets[:-1]])
         body_total = offsets[num_hc - 1]
-        if nb_pad != num_hc:
-            starts_blocks = jnp.concatenate(
-                [starts_blocks,
-                 jnp.broadcast_to(starts_blocks[num_hc - 1], (nb_pad - num_hc,))])
-        starts = num_hc + starts_blocks  # word offsets incl. header
+        starts_full = num_hc + starts_blocks  # word offsets incl. header
 
         rows = (stream.shape[0]) // LANES
         stream2d = stream[: rows * LANES].reshape(rows, LANES)
-        if G_t is not None:
+        tc = _g_tiled_padded(shape, dims, G_DEC)
+        if tc is not None:
+            G_t, gx = tc
+            ids = jnp.asarray(_padded_block_ids(shape, dims, G_t, gx))
             flat = _decode_interior_fp32(
-                stream2d, starts, shape, num_hc, G_t).reshape(-1)
+                stream2d, starts_full[ids], shape, num_hc, G_t, gx).reshape(-1)
         else:
+            nb_pad = (num_hc + G_DEC - 1) // G_DEC * G_DEC
+            starts = starts_full
+            if nb_pad != num_hc:
+                starts = jnp.concatenate(
+                    [starts,
+                     jnp.broadcast_to(starts[num_hc - 1], (nb_pad - num_hc,))])
             blocks = _decode_blocks_fp32(stream2d, starts, dims, num_hc)
             flat = _scatter_blocks_xla(blocks[:num_hc], shape, flat)
 

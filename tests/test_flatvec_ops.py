@@ -167,6 +167,34 @@ class TestLayoutHelpers:
             seg = spread[0].reshape(-1)[32 * c : 32 * c + 32]
             assert (seg == c + 1).all()
 
+    def test_select_window_rows_exact_u32(self):
+        """One-hot row selection must be bit-exact for arbitrary u32
+        payloads (u8-quarter bf16 matmuls with exact byte products)."""
+        G, R_out, W = 2, 64, 34
+        w = jnp.asarray(RNG.integers(0, 2**32, (G, W, 128), dtype=np.uint32))
+        rows = RNG.integers(0, W, (G, R_out))
+        q = np.arange(W)
+        P = (q[None, None, :] == rows[:, :, None]).astype(np.float32)
+        out = np.asarray(cp._select_window_rows(jnp.asarray(P), w))
+        expect = np.asarray(w)[np.arange(G)[:, None], rows, :]
+        assert np.array_equal(out, expect)
+
+    def test_padded_block_ids_and_layout(self):
+        # CESM-like 2D: 56 block columns padded to 2 tiles of 32
+        shape = (1800, 3600)
+        tc = cp._g_tiled_padded(shape, 2, cp.G_DEC)
+        assert tc == (32, 2)
+        ids = cp._padded_block_ids(shape, 2, *tc)
+        bs, imap, nb = cp._tiled_layout_padded(shape, 2, *tc)
+        assert bs == (64, 32 * 64) and nb == 28 * 64 == ids.size
+        # real ids row-major; fake slots clamp to the row's last block
+        assert ids[0] == 0 and ids[55] == 55 and ids[56] == 55 and ids[63] == 55
+        assert ids[64] == 56 and ids[64 + 57] == 111
+        assert imap(0) == (0, 0) and imap(1) == (0, 1) and imap(2) == (1, 0)
+        # exact divisor degenerates to the unpadded case
+        assert cp._g_tiled_padded((256, 256, 256), 3, cp.G_DEC) == (16, 1)
+        assert cp._g_tiled_padded((2**20,), 1, cp.G_DEC) is None
+
     def test_heads_via_matmul_matches_or(self):
         body = RNG.integers(0, 2**32, (2, 32, 128), dtype=np.uint32)
         body[body % 3 == 0] = 0  # plenty of zero words
