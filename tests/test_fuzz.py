@@ -46,6 +46,30 @@ CASES = [(d, dt, s) for s in range(2) for d in (1, 2, 3)
          for dt in (np.float32, np.float64)]
 
 
+PADDED_SHAPES = [
+    # grid minor axis NOT a multiple of the batch: exercises the padded
+    # tiled decode (fake blocks + clipped edge tiles), 2D and 3D
+    ((200, 27 * 64 + 13), np.float32),
+    ((17, 33, 15 * 16 + 9), np.float32),
+    ((130, 27 * 64 + 5), np.float64),
+]
+
+
+@pytest.mark.parametrize("shape,dtype", PADDED_SHAPES)
+def test_padded_tile_decode_bit_exact(shape, dtype):
+    dims = len(shape)
+    G = codec_pallas.G_DEC if dtype == np.float32 else codec_pallas.G_DEC64
+    tc = codec_pallas._g_tiled_padded(shape, dims, G)
+    assert tc is not None and codec_pallas._tiled_layout(shape, dims, tc[0]) \
+        is None, f"{shape} does not exercise the padded path (tc={tc})"
+    rng = np.random.default_rng(7)
+    data = _random_data(rng, shape, dtype)
+    g, gl = golden.compress(data)
+    out = codec_pallas.decompress(g, shape, dtype)
+    wdt = np.uint64 if dtype == np.float64 else np.uint32
+    assert np.array_equal(out.view(wdt), data.view(wdt)), f"{shape}"
+
+
 @pytest.mark.parametrize("dims,dtype,seed", CASES)
 def test_fuzz_round_trip_bit_exact(dims, dtype, seed):
     rng = np.random.default_rng(1000 * seed + dims)
