@@ -543,14 +543,13 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         lane_cs = fv.lane_count_prefix(valid)
         cnt = jnp.broadcast_to(lane_cs[:, LANES - 1 :], (R, LANES))
         off = _row_prefix_excl(cnt, R)
-        s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
-        (comp,), _ = fv.compact_rows((step_flat,), s_local)
         rot = off & (LANES - 1)
         prow = off >> 7
         j = (cols - rot) & (LANES - 1)
         can = j < cnt
-        rotated = jnp.take_along_axis(comp, j, axis=1)
-        part = jnp.where(can, rotated, _u32(0))
+        src = fv.rank_select_lanes(lane_cs, j)
+        part = jnp.where(can, jnp.take_along_axis(step_flat, src, axis=1),
+                         _u32(0))
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
         (merged,) = fv.merge_rows_or((part,), s_merge)
@@ -1075,14 +1074,13 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         cnt = jnp.broadcast_to(lane_cs[:, LANES - 1 :], (R, LANES))
         off = _row_prefix_excl(cnt, R)
         csum = off + cnt
-        s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
-        (comp_lo, comp_hi), _ = fv.compact_rows((step_lo, step_hi), s_local)
         rot = off & (LANES - 1)
         prow = off >> 7
         j = (cols - rot) & (LANES - 1)
         can = j < cnt
-        part_lo = jnp.where(can, jnp.take_along_axis(comp_lo, j, axis=1), _u32(0))
-        part_hi = jnp.where(can, jnp.take_along_axis(comp_hi, j, axis=1), _u32(0))
+        src = fv.rank_select_lanes(lane_cs, j)   # one search, both planes
+        part_lo = jnp.where(can, jnp.take_along_axis(step_lo, src, axis=1), _u32(0))
+        part_hi = jnp.where(can, jnp.take_along_axis(step_hi, src, axis=1), _u32(0))
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
         c_lo, c_hi = fv.merge_rows_or((part_lo, part_hi), s_merge)

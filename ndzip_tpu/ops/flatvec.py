@@ -201,28 +201,24 @@ def segmented_cumsum_flat_pair(lo, hi, stride: int, seg: int):
 _DEAD_BIT = 1 << 30
 
 
-def compact_rows(values, s):
-    """In-row monotone left-compaction: like compact_flat but every live
-    element stays within its 128-lane row (shifts < 128), so each of the 7
-    rounds uses lane-only rolls with no cross-row carry.  `s` as in
-    compact_flat (per-slot remaining shift, -1 dead); `values` may be a
-    tuple."""
-    single = not isinstance(values, tuple)
-    vals = (values,) if single else values
-    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
-    dead = jnp.full((), _DEAD_BIT, s.dtype)
-    s = jnp.where(s < 0, dead, s)
-    k = 1
-    while k < LANES:
-        ss = _roll(s, LANES - k, s.ndim - 1)               # s[l + k]
-        ss = jnp.where(cols < LANES - k, ss, dead)
-        incoming = (ss & k) != 0
-        move = (s & k) != 0
-        vals = tuple(jnp.where(incoming, _roll(v, LANES - k, v.ndim - 1), v)
-                     for v in vals)
-        s = jnp.where(incoming, ss - k, jnp.where(move, dead, s))
-        k <<= 1
-    return (vals[0] if single else vals), s
+def rank_select_lanes(lane_cs, j):
+    """Smallest lane l with lane_cs[..., l] >= j+1, per slot: a branchless
+    binary search over each row's non-decreasing inclusive 0/1-counts (7
+    rounds of lane gathers + compares).  Inverts the rank function, so
+    `take_along_axis(values, rank_select_lanes(cs, j))` left-compacts a
+    row's live elements straight into arbitrary per-slot positions j —
+    replacing a value-moving butterfly with ONE value gather (and co-
+    routed planes share the search).  Slots with j >= count get lane 127
+    (callers mask them)."""
+    lo = jnp.full(j.shape, -1, jnp.int32)
+    target = j + 1
+    k = LANES // 2
+    while k:
+        probe = lo + k                       # always <= 127 (lo <= 127-k)
+        c = jnp.take_along_axis(lane_cs, probe, axis=-1)
+        lo = jnp.where(c < target, probe, lo)
+        k >>= 1
+    return jnp.minimum(lo + 1, LANES - 1)
 
 
 def merge_rows_or(values, s):

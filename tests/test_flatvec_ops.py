@@ -94,8 +94,8 @@ class TestRouting:
     @pytest.mark.parametrize("n_rows,density", [(37, 0.5), (265, 0.97),
                                                 (265, 0.05), (64, 1.0)])
     def test_rowwise_compact_and_merge(self, n_rows, density):
-        """The encode kernel's two-phase compaction (in-row butterfly +
-        per-row rotation + OR-merge over rows) equals flat compaction."""
+        """The encode kernel's two-phase compaction (rank binary search +
+        one value gather + OR-merge over rows) equals flat compaction."""
         vals = RNG.integers(1, 2**32, (n_rows, 128), dtype=np.uint32)
         valid = (RNG.random((n_rows, 128)) < density).astype(np.int32)
         expect = vals.reshape(-1)[valid.reshape(-1).astype(bool)]
@@ -107,16 +107,14 @@ class TestRouting:
             (n_rows, 128)).astype(np.int32)
         cols = np.broadcast_to(np.arange(128), (n_rows, 128))
         rows = np.broadcast_to(np.arange(n_rows)[:, None], (n_rows, 128))
-        s_local = np.where(valid != 0, cols + 1 - lane_cs, -1)
-        (comp,), _ = fv.compact_rows(
-            (jnp.asarray(vals),), jnp.asarray(s_local.astype(np.int32)))
-        comp = np.asarray(comp)
 
         rot = off & 127
         prow = off >> 7
         j = (cols - rot) & 127
         can = j < cnt
-        part = np.where(can, np.take_along_axis(comp, j, axis=1), 0)
+        src = np.asarray(fv.rank_select_lanes(
+            jnp.asarray(lane_cs), jnp.asarray(j.astype(np.int32))))
+        part = np.where(can, np.take_along_axis(vals, src, axis=1), 0)
         s_merge = np.where(can, rows - prow - (cols < rot), -1)
         # co-routed plane pair exercises the tuple path (fp64 kernels)
         m, m2 = fv.merge_rows_or(
