@@ -244,22 +244,24 @@ def tile_to_blocks_3d(tile, G):
 
 def blocks_to_tile_3d(blocks, G):
     """Inverse of tile_to_blocks_3d: tile[z, y, l] =
-    blocks[l>>4, 2z+(y>>3), 16*(y&7) + (l&15)]."""
+    blocks[l>>4, 2z+(y>>3), 16*(y&7) + (l&15)].  Processed in 128-lane
+    slices — each slice only combines its own 8 blocks, so the select
+    chain stays constant-depth as G grows."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (16, 16, LANES), 1)  # y
     cols = jax.lax.broadcasted_iota(jnp.int32, (16, 16, LANES), 2)
     idx = ((rows & 7) << 4) + (cols & 15)
-    tcols = jax.lax.broadcasted_iota(jnp.int32, (16, 16, G * 16), 2)
-    out = jnp.zeros((16, 16, G * 16), blocks.dtype)
-    for b in range(G):
-        # rows of block b in [z, y] order: row 2z + (y>>3)
-        src = blocks[b].reshape(16, 2, LANES)          # [z, h, lane]
-        src = jnp.broadcast_to(src[:, :, None, :],
-                               (16, 2, 8, LANES)).reshape(16, 16, LANES)
-        g = _gather_lanes(src, idx)                    # period 16 in lanes
-        g_wide = jnp.concatenate([g] * (G * 16 // LANES), axis=2) \
-            if G * 16 > LANES else g[:, :, : G * 16]
-        out = jnp.where((tcols >> 4) == b, g_wide, out)
-    return out
+    outs = []
+    for t in range(G // 8):
+        out = jnp.zeros((16, 16, LANES), blocks.dtype)
+        for b8 in range(8):
+            # rows of block 8t+b8 in [z, y] order: row 2z + (y>>3)
+            src = blocks[8 * t + b8].reshape(16, 2, LANES)   # [z, h, lane]
+            src = jnp.broadcast_to(src[:, :, None, :],
+                                   (16, 2, 8, LANES)).reshape(16, 16, LANES)
+            g = _gather_lanes(src, idx)                # period 16 in lanes
+            out = jnp.where((cols >> 4) == b8, g, out)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
 
 
 def forward_transform_flat(xf, dims):
