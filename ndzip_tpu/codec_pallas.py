@@ -12,8 +12,9 @@ translating the reference's CUDA structure:
   table, stream assembly — happens in ONE kernel and ONE pass over the
   data.
 * **Vector routing instead of warp ballots.**  Zero-word compaction is a
-  monotone butterfly routing network (ops/flatvec.py::compact_flat) built
-  from rolls and selects, replacing warp-ballot + popcount compaction
+  per-row rank binary search + one lane gather (flatvec.rank_select_lanes)
+  followed by a monotone OR-merge butterfly over rows
+  (flatvec.merge_rows_or), replacing warp-ballot + popcount compaction
   (cuda_codec.inl:185-275).  Decode re-expands with per-row gathers: each
   output row's <=2 source rows are selected by a data-dependent one-hot
   matmul on the MXU and placed with one lane gather.
@@ -868,8 +869,9 @@ def _decode_interior_fp32(stream2d, starts, shape, num_hc, G, gx):
 # separate (32, 128) "planes" per block (4096 u64 words).  Chunks are 64
 # words, i.e. 64-lane segments; heads per block are 64 u64 words = the
 # first 64 lanes of the dense head row.  Planes are compacted together
-# (compact_flat moves tuples) in u64-word granularity and interleaved
-# into the byte-exact u32 stream IN-KERNEL (interleave_planes_rows).
+# (one shared rank search routes both) in u64-word granularity and
+# interleaved into the byte-exact u32 stream IN-KERNEL
+# (interleave_planes_rows).
 # Mirrors the reference's 32-bit-register 64-bit formulation
 # (cuda_codec.inl:236-264).
 # =====================================================================

@@ -19,9 +19,11 @@ Key algorithms:
   * segmented ops: cumsum/diff along a strided sub-axis of the flat order,
     which implements the multidimensional Lorenzo transform on a flat
     (rows, 128) layout for every dimensionality.
-  * compact_flat / expand_flat: monotone butterfly routing networks that
-    perform masked stream compaction and its inverse entirely with vector
-    selects (replaces warp-ballot compaction, cuda_codec.inl:185-275).
+  * rank_select_lanes: branchless per-row binary search that inverts the
+    rank function, turning masked in-row compaction into one lane gather.
+  * merge_rows_or: monotone OR-merge butterfly over the row axis that
+    assembles per-row compacted spans into the dense stream (together
+    these replace warp-ballot compaction, cuda_codec.inl:185-275).
 """
 
 from __future__ import annotations
@@ -258,74 +260,3 @@ def merge_rows_or(values, s):
     return vals
 
 
-def _shift_flat_left_lax(x, k):
-    """shift_flat_left without the end-of-array and tail-fill masking:
-    positions whose shifted source falls past the end hold garbage.  Only
-    valid when the caller masks those positions (compact_flat's `incoming`
-    is always False there because the shift of `s` uses a proper fill)."""
-    R = x.shape[-2]
-    if k % LANES == 0:
-        return _roll(x, R - k // LANES, len(x.shape) - 2)
-    _, cols = _row_col(x.shape)
-    a = _roll(x, LANES - k, len(x.shape) - 1)
-    b = _roll(_roll(x, R - 1, len(x.shape) - 2), LANES - k, len(x.shape) - 1)
-    return jnp.where(cols < LANES - k, a, b)
-
-
-def compact_flat(values, s):
-    """Monotone left-compaction butterfly.
-
-    `s` is the per-slot remaining left-shift: for live slots the distance to
-    the destination (i - dest, non-decreasing over live slots), and -1 for
-    dead slots.  Processes bits LSB->MSB; each round moves live elements
-    whose shift has that bit set, and marks vacated slots dead.  Live-live
-    collisions are impossible for monotone routing (see proof in repo notes:
-    at round k all live shifts are ≡ 0 (mod k), so a collision would force
-    two equal destinations).
-
-    Dead slots are tracked with a high sentinel bit instead of -1 so the
-    per-round liveness test collapses into the bit test itself ((DEAD & k)
-    == 0 for every round bit), and values move through unmasked shifts —
-    together ~25% fewer ops per round.
-
-    Returns (values, s) with compacted data at the front (s == 0 there,
-    the sentinel bit set elsewhere).  `values` may be a tuple of arrays
-    moved together.
-    """
-    single = not isinstance(values, tuple)
-    vals = (values,) if single else values
-    n = s.shape[-2] * LANES
-    assert n < _DEAD_BIT
-    dead = jnp.full((), _DEAD_BIT, s.dtype)
-    s = jnp.where(s < 0, dead, s)
-    k = 1
-    while k < n:
-        ss = shift_flat_left(s, k, fill=dead)
-        incoming = (ss & k) != 0
-        move = (s & k) != 0
-        vals = tuple(jnp.where(incoming, _shift_flat_left_lax(v, k), v)
-                     for v in vals)
-        s = jnp.where(incoming, ss - k, jnp.where(move, dead, s))
-        k <<= 1
-    return (vals[0] if single else vals), s
-
-
-def expand_flat(values, s):
-    """Inverse of compact_flat: gather-only butterfly.  `s[i]` is how far to
-    the LEFT the source of destination i currently sits (i - src, with
-    src = csum(valid)-1; must be non-negative and non-decreasing).  Invalid
-    destinations should be masked by the caller afterwards."""
-    single = not isinstance(values, tuple)
-    vals = (values,) if single else values
-    n = s.shape[-2] * LANES
-    k = 1
-    top = 1
-    while top < n:
-        top <<= 1
-    k = top >> 1
-    while k >= 1:
-        take = (s & k) != 0
-        vals = tuple(jnp.where(take, shift_flat_right(v, k), v) for v in vals)
-        s = jnp.where(take, s - k, s)
-        k >>= 1
-    return vals[0] if single else vals

@@ -70,26 +70,16 @@ class TestScans:
 
 
 class TestRouting:
-    def test_compact_then_expand_round_trip(self):
-        n_rows = 9
-        vals = RNG.integers(1, 2**32, (n_rows, 128), dtype=np.uint32)
-        valid = RNG.integers(0, 2, (n_rows, 128)).astype(np.int32)
-        flat_v = vals.reshape(-1)
-        flat_m = valid.reshape(-1).astype(bool)
-        expect = flat_v[flat_m]
-
-        csum = np.cumsum(valid.reshape(-1))
-        idx = np.arange(n_rows * 128)
-        s = np.where(flat_m, idx + 1 - csum, -1).reshape(n_rows, 128)
-        comp, _ = fv.compact_flat(jnp.asarray(vals), jnp.asarray(s))
-        got = _flat(comp)[: expect.size]
-        assert np.array_equal(got, expect)
-
-        # expand back: dest i takes source csum[i]-1
-        s2 = (idx + 1 - csum).reshape(n_rows, 128)
-        exp = fv.expand_flat(jnp.asarray(comp), jnp.asarray(s2))
-        back = np.where(flat_m, _flat(exp), 0)
-        assert np.array_equal(back, np.where(flat_m, flat_v, 0))
+    @pytest.mark.parametrize("density", [0.0, 0.3, 1.0])
+    def test_rank_select_lanes_inverts_rank(self, density):
+        valid = (RNG.random((9, 128)) < density).astype(np.int32)
+        cs = np.cumsum(valid, axis=1)
+        j = RNG.integers(0, 128, (9, 128)).astype(np.int32)
+        got = np.asarray(fv.rank_select_lanes(jnp.asarray(cs), jnp.asarray(j)))
+        for r in range(9):
+            for l in range(128):
+                expect = int(np.searchsorted(cs[r], j[r, l] + 1))
+                assert got[r, l] == min(expect, 127), (r, l)
 
     @pytest.mark.parametrize("n_rows,density", [(37, 0.5), (265, 0.97),
                                                 (265, 0.05), (64, 1.0)])
