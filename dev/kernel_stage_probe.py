@@ -73,7 +73,7 @@ def _enc_probe(shape):
         ("transform", cp, "forward_transform_flat", lambda xf, dims: xf),
         ("transpose", cp, "transpose_bits_lane32", lambda a: a),
         ("heads", cp, "heads_via_matmul", lambda body: body),
-        ("rank_search", fv, "rank_select_lanes", lambda cs, j: j),
+        ("inrow_bfly", fv, "compact_rows", lambda values, s: (values, s)),
         ("rowmerge", fv, "merge_rows_or", lambda values, s: values),
         ("lanecnt", fv, "lane_count_prefix",
          lambda v: jnp.broadcast_to(jnp.ones_like(v), v.shape)),

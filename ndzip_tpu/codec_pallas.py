@@ -11,11 +11,12 @@ translating the reference's CUDA structure:
   whole encode — transform, bit transpose, zero-word compaction, offset
   table, stream assembly — happens in ONE kernel and ONE pass over the
   data.
-* **Vector routing instead of warp ballots.**  Zero-word compaction is a
-  per-row rank binary search + one lane gather (flatvec.rank_select_lanes)
-  followed by a monotone OR-merge butterfly over rows
-  (flatvec.merge_rows_or), replacing warp-ballot + popcount compaction
-  (cuda_codec.inl:185-275).  Decode re-expands with per-row gathers: each
+* **Vector routing instead of warp ballots.**  Zero-word compaction is an
+  in-row roll/select butterfly (flatvec.compact_rows) followed by a
+  monotone OR-merge butterfly over rows (flatvec.merge_rows_or),
+  replacing warp-ballot + popcount compaction (cuda_codec.inl:185-275);
+  see compact_rows' note on why a gather-based rank search lost on
+  compile time.  Decode re-expands with per-row gathers: each
   output row's <=2 source rows are selected by a data-dependent one-hot
   matmul on the MXU and placed with one lane gather.
 * **Flat-layout Lorenzo transform.**  Blocks stay in a flat (32, 128)
@@ -550,9 +551,9 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         prow = off >> 7
         j = (cols - rot) & (LANES - 1)
         can = j < cnt
-        src = fv.rank_select_lanes(lane_cs, j)
-        part = jnp.where(can, jnp.take_along_axis(step_flat, src, axis=1),
-                         _u32(0))
+        s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
+        (comp,), _ = fv.compact_rows((step_flat,), s_local)
+        part = jnp.where(can, jnp.take_along_axis(comp, j, axis=1), _u32(0))
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
         (merged,) = fv.merge_rows_or((part,), s_merge)
@@ -1082,9 +1083,10 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         prow = off >> 7
         j = (cols - rot) & (LANES - 1)
         can = j < cnt
-        src = fv.rank_select_lanes(lane_cs, j)   # one search, both planes
-        part_lo = jnp.where(can, jnp.take_along_axis(step_lo, src, axis=1), _u32(0))
-        part_hi = jnp.where(can, jnp.take_along_axis(step_hi, src, axis=1), _u32(0))
+        s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
+        (comp_lo, comp_hi), _ = fv.compact_rows((step_lo, step_hi), s_local)
+        part_lo = jnp.where(can, jnp.take_along_axis(comp_lo, j, axis=1), _u32(0))
+        part_hi = jnp.where(can, jnp.take_along_axis(comp_hi, j, axis=1), _u32(0))
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
         c_lo, c_hi = fv.merge_rows_or((part_lo, part_hi), s_merge)

@@ -19,8 +19,7 @@ Key algorithms:
   * segmented ops: cumsum/diff along a strided sub-axis of the flat order,
     which implements the multidimensional Lorenzo transform on a flat
     (rows, 128) layout for every dimensionality.
-  * rank_select_lanes: branchless per-row binary search that inverts the
-    rank function, turning masked in-row compaction into one lane gather.
+  * compact_rows: in-row monotone compaction butterfly (lane rolls only).
   * merge_rows_or: monotone OR-merge butterfly over the row axis that
     assembles per-row compacted spans into the dense stream (together
     these replace warp-ballot compaction, cuda_codec.inl:185-275).
@@ -203,24 +202,36 @@ def segmented_cumsum_flat_pair(lo, hi, stride: int, seg: int):
 _DEAD_BIT = 1 << 30
 
 
-def rank_select_lanes(lane_cs, j):
-    """Smallest lane l with lane_cs[..., l] >= j+1, per slot: a branchless
-    binary search over each row's non-decreasing inclusive 0/1-counts (7
-    rounds of lane gathers + compares).  Inverts the rank function, so
-    `take_along_axis(values, rank_select_lanes(cs, j))` left-compacts a
-    row's live elements straight into arbitrary per-slot positions j —
-    replacing a value-moving butterfly with ONE value gather (and co-
-    routed planes share the search).  Slots with j >= count get lane 127
-    (callers mask them)."""
-    lo = jnp.full(j.shape, -1, jnp.int32)
-    target = j + 1
-    k = LANES // 2
-    while k:
-        probe = lo + k                       # always <= 127 (lo <= 127-k)
-        c = jnp.take_along_axis(lane_cs, probe, axis=-1)
-        lo = jnp.where(c < target, probe, lo)
-        k >>= 1
-    return jnp.minimum(lo + 1, LANES - 1)
+def compact_rows(values, s):
+    """In-row monotone left-compaction: every live element stays within
+    its 128-lane row (shifts < 128), so each of the 7 rounds uses
+    lane-only rolls with no cross-row carry.  `s` is the per-slot
+    remaining left-shift (-1 dead, sentinel-bit tracked as in
+    merge_rows_or); `values` may be a tuple.
+
+    NOTE a rank binary search (7 chained data-dependent lane gathers +
+    one value gather) is ~2.5% faster end-to-end for fp32 and ~15% for
+    fp64 (one search routes both planes) — but Mosaic's compile time
+    blows up exponentially in the gather-chain depth (>10 min for a
+    fresh kernel vs ~1 min with this butterfly; a VMEM store/load
+    barrier between rounds does not reset it).  Roll/select butterflies
+    compile fine, so this stays the production path."""
+    single = not isinstance(values, tuple)
+    vals = (values,) if single else values
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+    dead = jnp.full((), _DEAD_BIT, s.dtype)
+    s = jnp.where(s < 0, dead, s)
+    k = 1
+    while k < LANES:
+        ss = _roll(s, LANES - k, s.ndim - 1)               # s[l + k]
+        ss = jnp.where(cols < LANES - k, ss, dead)
+        incoming = (ss & k) != 0
+        move = (s & k) != 0
+        vals = tuple(jnp.where(incoming, _roll(v, LANES - k, v.ndim - 1), v)
+                     for v in vals)
+        s = jnp.where(incoming, ss - k, jnp.where(move, dead, s))
+        k <<= 1
+    return (vals[0] if single else vals), s
 
 
 def merge_rows_or(values, s):

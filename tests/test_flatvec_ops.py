@@ -71,21 +71,23 @@ class TestScans:
 
 class TestRouting:
     @pytest.mark.parametrize("density", [0.0, 0.3, 1.0])
-    def test_rank_select_lanes_inverts_rank(self, density):
+    def test_compact_rows_left_compacts(self, density):
         valid = (RNG.random((9, 128)) < density).astype(np.int32)
+        vals = RNG.integers(1, 2**32, (9, 128), dtype=np.uint32)
         cs = np.cumsum(valid, axis=1)
-        j = RNG.integers(0, 128, (9, 128)).astype(np.int32)
-        got = np.asarray(fv.rank_select_lanes(jnp.asarray(cs), jnp.asarray(j)))
+        cols = np.broadcast_to(np.arange(128), (9, 128))
+        s = np.where(valid != 0, cols + 1 - cs, -1).astype(np.int32)
+        (comp,), _ = fv.compact_rows((jnp.asarray(vals),), jnp.asarray(s))
+        comp = np.asarray(comp)
         for r in range(9):
-            for l in range(128):
-                expect = int(np.searchsorted(cs[r], j[r, l] + 1))
-                assert got[r, l] == min(expect, 127), (r, l)
+            expect = vals[r][valid[r].astype(bool)]
+            assert np.array_equal(comp[r, : expect.size], expect), r
 
     @pytest.mark.parametrize("n_rows,density", [(37, 0.5), (265, 0.97),
                                                 (265, 0.05), (64, 1.0)])
     def test_rowwise_compact_and_merge(self, n_rows, density):
-        """The encode kernel's two-phase compaction (rank binary search +
-        one value gather + OR-merge over rows) equals flat compaction."""
+        """The encode kernel's two-phase compaction (in-row butterfly +
+        rotation gather + OR-merge over rows) equals flat compaction."""
         vals = RNG.integers(1, 2**32, (n_rows, 128), dtype=np.uint32)
         valid = (RNG.random((n_rows, 128)) < density).astype(np.int32)
         expect = vals.reshape(-1)[valid.reshape(-1).astype(bool)]
@@ -102,9 +104,10 @@ class TestRouting:
         prow = off >> 7
         j = (cols - rot) & 127
         can = j < cnt
-        src = np.asarray(fv.rank_select_lanes(
-            jnp.asarray(lane_cs), jnp.asarray(j.astype(np.int32))))
-        part = np.where(can, np.take_along_axis(vals, src, axis=1), 0)
+        s_local = np.where(valid != 0, cols + 1 - lane_cs, -1)
+        (comp,), _ = fv.compact_rows(
+            (jnp.asarray(vals),), jnp.asarray(s_local.astype(np.int32)))
+        part = np.where(can, np.take_along_axis(np.asarray(comp), j, axis=1), 0)
         s_merge = np.where(can, rows - prow - (cols < rot), -1)
         # co-routed plane pair exercises the tuple path (fp64 kernels)
         m, m2 = fv.merge_rows_or(
