@@ -44,6 +44,9 @@ def main():
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu:
+        # peak-throughput decode batch (the library default favors
+        # per-shape compile time; see codec_pallas G_* notes)
+        codec_pallas.G_DEC = max(codec_pallas.G_DEC, 32)
         enc = lambda w: codec_pallas._encode_fp32_device(w, shape)
         dec = lambda s: codec_pallas._decode_fp32_device(s, shape)
         pad_extra = codec_pallas.WIN_ROWS * codec_pallas.LANES

@@ -36,6 +36,7 @@ Streams are bit-identical to the reference CPU codec.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,13 +55,34 @@ LANES = 128
 #: set True (e.g. in CPU tests) to run kernels in the Pallas interpreter
 INTERPRET = False
 
-# grid-step batch size (blocks per step) — the TPU analog of the
-# reference's NDZIP_GPU_GROUP_SIZE knob, chosen by measurement on v5e.
-# Bigger G amortizes per-step DMA/scalar overhead until the ~16 MB VMEM
-# budget binds (fp64 decode holds two planes + double-buffered windows).
-G_ENC = 16       # encode, both dtypes
-G_DEC = 32       # fp32 decode
-G_DEC64 = 16     # fp64 decode (G=32 exceeds scoped VMEM)
+# Grid-step batch size (blocks per step) — the TPU analog of the
+# reference's NDZIP_GPU_GROUP_SIZE build knob, overridable via env vars
+# of the same names below (multiples of 8; every shape's kernel is
+# specialized per G).  Bigger G amortizes per-step DMA/scalar overhead,
+# but raises both VMEM use (fp64 decode at G=32 exceeds the ~16 MB
+# scoped budget) and PER-SHAPE COMPILE TIME, measured fresh on v5e:
+#
+#              runtime (64 MiB)     first compile of a new shape
+#   enc G=8    29.9 / 36.2 GB/s     ~75 s
+#   enc G=16   30.7 / 37.5 GB/s     >10 min (compact_rows butterfly's
+#                                   Mosaic compile grows superlinearly
+#                                   in step height R = 1 + 33*G)
+#   dec G=8    37.5 GB/s            ~80 s
+#   dec G=16   48.7 GB/s            ~180 s
+#   dec G=32   53.0 GB/s            ~400 s
+#
+# Defaults favor compile time (the reference ships AOT kernels and pays
+# none); bench.py raises G_DEC to 32 for peak-throughput numbers, and
+# deployments that reuse shapes (or a persistent compilation cache —
+# see NDZIP_TPU_CACHE_DIR) should too.
+def _env_g(name, default):
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+G_ENC = _env_g("NDZIP_TPU_G_ENC", 8)        # encode, both dtypes
+G_DEC = _env_g("NDZIP_TPU_G_DEC", 16)       # fp32 decode
+G_DEC64 = _env_g("NDZIP_TPU_G_DEC64", 16)   # fp64 decode
 
 # strided-axis parameters of the block transform on the flat 4096-word
 # layout, in forward axis order (format.FORWARD_AXIS_ORDER):

@@ -171,9 +171,10 @@ class TestLayoutHelpers:
         assert np.array_equal(out, expect)
 
     def test_padded_block_ids_and_layout(self):
-        # CESM-like 2D: 56 block columns padded to 2 tiles of 32
+        # CESM-like 2D: 56 block columns padded to 2 tiles of 32 (ask for
+        # the peak batch explicitly; the library default is smaller)
         shape = (1800, 3600)
-        tc = cp._g_tiled_padded(shape, 2, cp.G_DEC)
+        tc = cp._g_tiled_padded(shape, 2, 32)
         assert tc == (32, 2)
         ids = cp._padded_block_ids(shape, 2, *tc)
         bs, imap, nb = cp._tiled_layout_padded(shape, 2, *tc)
@@ -183,8 +184,8 @@ class TestLayoutHelpers:
         assert ids[64] == 56 and ids[64 + 57] == 111
         assert imap(0) == (0, 0) and imap(1) == (0, 1) and imap(2) == (1, 0)
         # exact divisor degenerates to the unpadded case
-        assert cp._g_tiled_padded((256, 256, 256), 3, cp.G_DEC) == (16, 1)
-        assert cp._g_tiled_padded((2**20,), 1, cp.G_DEC) is None
+        assert cp._g_tiled_padded((256, 256, 256), 3, 32) == (16, 1)
+        assert cp._g_tiled_padded((2**20,), 1, 32) is None
 
     def test_heads_via_matmul_matches_or(self):
         body = RNG.integers(0, 2**32, (2, 32, 128), dtype=np.uint32)
