@@ -575,6 +575,9 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         can = j < cnt
         s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
         (comp,), _ = fv.compact_rows((step_flat,), s_local)
+        # the kernel's ONE data-dependent gather: Mosaic compile time
+        # multiplies ~4-5x per such gather (see compact_rows' note), so
+        # the rotation stays a single take_along_axis
         part = jnp.where(can, jnp.take_along_axis(comp, j, axis=1), _u32(0))
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
@@ -1107,8 +1110,14 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         can = j < cnt
         s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
         (comp_lo, comp_hi), _ = fv.compact_rows((step_lo, step_hi), s_local)
-        part_lo = jnp.where(can, jnp.take_along_axis(comp_lo, j, axis=1), _u32(0))
-        part_hi = jnp.where(can, jnp.take_along_axis(comp_hi, j, axis=1), _u32(0))
+        # ONE data-dependent gather for both planes (stacked on the row
+        # axis): each such gather multiplies Mosaic compile time ~4-5x,
+        # and two of them pushed a fresh fp64 kernel past 10 minutes
+        comp2 = jnp.concatenate([comp_lo, comp_hi], axis=0)     # (2R, 128)
+        rot2 = jnp.take_along_axis(
+            comp2, jnp.concatenate([j, j], axis=0), axis=1)
+        part_lo = jnp.where(can, rot2[:R], _u32(0))
+        part_hi = jnp.where(can, rot2[R:], _u32(0))
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
         c_lo, c_hi = fv.merge_rows_or((part_lo, part_hi), s_merge)
