@@ -63,13 +63,15 @@ INTERPRET = False
 # scoped budget) and PER-SHAPE COMPILE TIME, measured fresh on v5e:
 #
 #              runtime (64 MiB)     first compile of a new shape
-#   enc G=8    29.9 / 36.2 GB/s     ~75 s
+#   enc G=8    29.9 / 35.6 GB/s     ~1-3 min
 #   enc G=16   30.7 / 37.5 GB/s     >10 min (compact_rows butterfly's
 #                                   Mosaic compile grows superlinearly
 #                                   in step height R = 1 + 33*G)
-#   dec G=8    37.5 GB/s            ~80 s
-#   dec G=16   48.7 GB/s            ~180 s
-#   dec G=32   53.0 GB/s            ~400 s
+#   dec G=8    37.5 GB/s            ~1-2 min
+#   dec G=16   48.7 GB/s            ~3-7 min
+#   dec G=32   53.0 GB/s            ~7+ min
+# (compile times have large variance on this image's remote compile
+# service; treat them as a ranking)
 #
 # Defaults favor compile time (the reference ships AOT kernels and pays
 # none); bench.py raises G_DEC to 32 for peak-throughput numbers, and
@@ -785,13 +787,15 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat"):
             [jnp.broadcast_to(starts_ref[step * G + g] % LANES, (1, 1, LANES))
              for g in range(G)], axis=0).astype(jnp.int32)      # (G, 1, 128)
 
-        # heads row: window positions rot0 .. rot0+127 (rows 0-1)
+        # heads row: window positions rot0 .. rot0+127 (rows 0-1); ONE
+        # stacked gather for both candidate rows (each data-dependent
+        # gather multiplies Mosaic compile time — see compact_rows)
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (G, 1, LANES), 2)
         hsrc = rot0 + cols1
         hidx = hsrc & (LANES - 1)
-        h_a = _gather_lanes(w[:, 0:1, :], hidx)
-        h_b = _gather_lanes(w[:, 1:2, :], hidx)
-        heads_row = jnp.where(hsrc < LANES, h_a, h_b)           # (G, 1, 128)
+        h_ab = _gather_lanes(
+            w[:, 0:2, :], jnp.concatenate([hidx, hidx], axis=1))
+        heads_row = jnp.where(hsrc < LANES, h_ab[:, 0:1, :], h_ab[:, 1:2, :])
 
         # present bits: spread each chunk's head to its 32 flat positions,
         # then test bit (31 - i) where i = flat % 32
@@ -815,9 +819,10 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat"):
         A, B = AB[:, :32, :], AB[:, 32:, :]
 
         src = rot + lane_cs - 1                                 # in [0, 255)
-        val = jnp.where(src < LANES,
-                        _gather_lanes(A, src & (LANES - 1)),
-                        _gather_lanes(B, src & (LANES - 1)))
+        srcm = src & (LANES - 1)
+        ab = _gather_lanes(jnp.concatenate([A, B], axis=1),
+                           jnp.concatenate([srcm, srcm], axis=1))
+        val = jnp.where(src < LANES, ab[:, :32, :], ab[:, 32:, :])
         body = jnp.where(present != 0, val, _u32(0))            # (G, 32, 128)
 
         xf = transpose_bits_lane32(body)             # inverse (involution)
@@ -1327,21 +1332,26 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat"):
             [jnp.broadcast_to(starts_ref[step * G + g] % LANES, (1, 1, LANES))
              for g in range(G)], axis=0).astype(jnp.int32)      # (G, 1, 128)
 
-        # heads row: u64 words rot0 .. rot0+63 live in window rows 0-1
+        # heads row: u64 words rot0 .. rot0+63 live in window rows 0-1.
+        # ONE stacked gather serves both planes and both candidate rows
+        # (each data-dependent gather multiplies Mosaic compile time).
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (G, 1, LANES), 2)
         hsrc = rot0 + cols1
         hidx = hsrc & (LANES - 1)
+        h4 = _gather_lanes(
+            jnp.concatenate([win_lo[:, 0:2, :], win_hi[:, 0:2, :]], axis=1),
+            jnp.concatenate([hidx] * 4, axis=1))
+        near_h = hsrc < LANES
 
-        def head_row(wp):
-            h_a = _gather_lanes(wp[:, 0:1, :], hidx)
-            h_b = _gather_lanes(wp[:, 1:2, :], hidx)
-            return jnp.where(hsrc < LANES, h_a, h_b)            # (G, 1, 128)
+        def head_row(plane):                                    # (G, 1, 128)
+            a, b = (0, 1) if plane == "lo" else (2, 3)
+            return jnp.where(near_h, h4[:, a : a + 1, :], h4[:, b : b + 1, :])
 
         # present bits: chunk c's u64 head = (hi, lo) planes at lane c of
         # the head row; word i of a chunk (i = lane % 64) tests bit 63-i:
         # hi-plane bit 31-i for i < 32, lo-plane bit 63-i above.
-        spread_lo = head_spread64_to_flat(head_row(win_lo), G)  # (G, 32, 128)
-        spread_hi = head_spread64_to_flat(head_row(win_hi), G)
+        spread_lo = head_spread64_to_flat(head_row("lo"), G)    # (G, 32, 128)
+        spread_hi = head_spread64_to_flat(head_row("hi"), G)
         colsb = jax.lax.broadcasted_iota(jnp.int32, spread_lo.shape, 2)
         i64 = colsb & 63
         j32 = (colsb & 31).astype(jnp.uint32)
@@ -1368,10 +1378,16 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat"):
         src = rot + lane_cs - 1
         srcm = src & (LANES - 1)
         near = src < LANES
-        c_lo = jnp.where(present != 0, jnp.where(
-            near, _gather_lanes(A_lo, srcm), _gather_lanes(B_lo, srcm)), _u32(0))
-        c_hi = jnp.where(present != 0, jnp.where(
-            near, _gather_lanes(A_hi, srcm), _gather_lanes(B_hi, srcm)), _u32(0))
+        # ONE stacked gather places all four selected row sets
+        g4 = _gather_lanes(
+            jnp.concatenate([A_lo, B_lo, A_hi, B_hi], axis=1),
+            jnp.concatenate([srcm] * 4, axis=1))
+        c_lo = jnp.where(present != 0,
+                         jnp.where(near, g4[:, :32, :], g4[:, 32:64, :]),
+                         _u32(0))
+        c_hi = jnp.where(present != 0,
+                         jnp.where(near, g4[:, 64:96, :], g4[:, 96:, :]),
+                         _u32(0))
 
         c_lo, c_hi = transpose_bits_lane64_pair(c_lo, c_hi)
         x_lo, x_hi = inverse_transform_flat_pair(c_lo, c_hi, dims)
