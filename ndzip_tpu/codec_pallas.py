@@ -1254,9 +1254,8 @@ def _encode_fp64_device(lo, hi, shape):
     header_u32 = 2 * hw
 
     def border_vals_u32():
-        bi = jnp.asarray(border_idx)
-        return jnp.stack(
-            [lo.reshape(-1)[bi], hi.reshape(-1)[bi]], axis=-1).reshape(-1)
+        nd = _border_nd(shape)                   # N-D gather, no relayout
+        return jnp.stack([lo[nd], hi[nd]], axis=-1).reshape(-1)
 
     if num_hc == 0:
         out = jnp.zeros(bound, jnp.uint32)
@@ -1489,9 +1488,8 @@ def _decode_fp64_device(stream, shape):
         if tc is not None:
             G_t, gx = tc
             ids = jnp.asarray(_padded_block_ids(shape, dims, G_t, gx))
-            int_lo, int_hi = _decode_interior_fp64(
+            arr_lo, arr_hi = _decode_interior_fp64(
                 stream2d, starts_full[ids], shape, num_hc, G_t, gx)
-            flat_lo, flat_hi = int_lo.reshape(-1), int_hi.reshape(-1)
         else:
             nb_pad = (num_hc + G_DEC64 - 1) // G_DEC64 * G_DEC64
             starts = starts_full
@@ -1502,15 +1500,19 @@ def _decode_fp64_device(stream, shape):
             b_lo, b_hi = _decode_blocks_fp64(stream2d, starts, dims, num_hc)
             flat_lo = _scatter_blocks_xla(b_lo[:num_hc], shape, flat_lo)
             flat_hi = _scatter_blocks_xla(b_hi[:num_hc], shape, flat_hi)
+            arr_lo, arr_hi = flat_lo.reshape(shape), flat_hi.reshape(shape)
+    else:
+        arr_lo, arr_hi = flat_lo.reshape(shape), flat_hi.reshape(shape)
 
     if border_idx.size:
+        # N-D scatter on the shaped planes (see _border_nd)
         border_vals = jax.lax.dynamic_slice(
             stream, (header_u32 + 2 * body_total,), (2 * border_idx.size,))
         pairs_b = border_vals.reshape(-1, 2)
-        bi = jnp.asarray(border_idx)
-        flat_lo = flat_lo.at[bi].set(pairs_b[:, 0])
-        flat_hi = flat_hi.at[bi].set(pairs_b[:, 1])
-    return flat_lo.reshape(shape), flat_hi.reshape(shape)
+        nd = _border_nd(shape)
+        arr_lo = arr_lo.at[nd].set(pairs_b[:, 0])
+        arr_hi = arr_hi.at[nd].set(pairs_b[:, 1])
+    return arr_lo, arr_hi
 
 
 # =====================================================================
@@ -1552,6 +1554,16 @@ def _border_indices(shape):
         [np.arange(off, off + cnt, dtype=np.int64) for off, cnt in slices])
 
 
+def _border_nd(shape):
+    """Per-dimension index arrays of the border elements — N-D gathers and
+    scatters on the SHAPED array avoid flattening it: a reshape to flat is
+    free only when the minor dim is lane-aligned; otherwise XLA inserts a
+    full physical relayout copy of the array (the dominant cost for e.g.
+    1800x3600, whose rows are padded to 3712 lanes on TPU)."""
+    return tuple(jnp.asarray(ix.astype(np.int32))
+                 for ix in np.unravel_index(_border_indices(shape), shape))
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _encode_fp32_device(words, shape):
     """Full device encode: words (shape) u32 -> (stream_padded_u32, length)."""
@@ -1564,7 +1576,7 @@ def _encode_fp32_device(words, shape):
         out = jnp.zeros(bound, jnp.uint32)
         if border_idx.size:
             out = jax.lax.dynamic_update_slice(
-                out, words.reshape(-1)[jnp.asarray(border_idx)], (0,))
+                out, words[_border_nd(shape)], (0,))
         return out, jnp.int32(border_idx.size)
 
     G = _g_tiled(shape, dims, G_ENC)
@@ -1585,7 +1597,7 @@ def _encode_fp32_device(words, shape):
     flat = body2d.reshape(-1)
     out = jax.lax.dynamic_update_slice(flat, header, (0,))
     if border_idx.size:
-        border_vals = words.reshape(-1)[jnp.asarray(border_idx)]
+        border_vals = words[_border_nd(shape)]   # N-D gather, no relayout
         out = jax.lax.dynamic_update_slice(out, border_vals, (num_hc + body_total,))
     length = num_hc + body_total + border_idx.size
     out = out[:bound]
@@ -1614,8 +1626,8 @@ def _decode_fp32_device(stream, shape):
         if tc is not None:
             G_t, gx = tc
             ids = jnp.asarray(_padded_block_ids(shape, dims, G_t, gx))
-            flat = _decode_interior_fp32(
-                stream2d, starts_full[ids], shape, num_hc, G_t, gx).reshape(-1)
+            arr = _decode_interior_fp32(
+                stream2d, starts_full[ids], shape, num_hc, G_t, gx)
         else:
             nb_pad = (num_hc + G_DEC - 1) // G_DEC * G_DEC
             starts = starts_full
@@ -1625,12 +1637,17 @@ def _decode_fp32_device(stream, shape):
                      jnp.broadcast_to(starts[num_hc - 1], (nb_pad - num_hc,))])
             blocks = _decode_blocks_fp32(stream2d, starts, dims, num_hc)
             flat = _scatter_blocks_xla(blocks[:num_hc], shape, flat)
+            arr = flat.reshape(shape)
+    else:
+        arr = flat.reshape(shape)
 
     if border_idx.size:
+        # N-D scatter on the shaped array — flattening an unaligned-width
+        # array costs a full relayout copy each way (see _border_nd)
         border_vals = jax.lax.dynamic_slice(
             stream, (num_hc + body_total,), (border_idx.size,))
-        flat = flat.at[jnp.asarray(border_idx)].set(border_vals)
-    return flat.reshape(shape)
+        arr = arr.at[_border_nd(shape)].set(border_vals)
+    return arr
 
 
 # =====================================================================
