@@ -1254,8 +1254,9 @@ def _encode_fp64_device(lo, hi, shape):
     header_u32 = 2 * hw
 
     def border_vals_u32():
-        nd = _border_nd(shape)                   # N-D gather, no relayout
-        return jnp.stack([lo[nd], hi[nd]], axis=-1).reshape(-1)
+        bi = jnp.asarray(border_idx)             # flat: see fp32 note
+        return jnp.stack(
+            [lo.reshape(-1)[bi], hi.reshape(-1)[bi]], axis=-1).reshape(-1)
 
     if num_hc == 0:
         out = jnp.zeros(bound, jnp.uint32)
@@ -1576,7 +1577,7 @@ def _encode_fp32_device(words, shape):
         out = jnp.zeros(bound, jnp.uint32)
         if border_idx.size:
             out = jax.lax.dynamic_update_slice(
-                out, words[_border_nd(shape)], (0,))
+                out, words.reshape(-1)[jnp.asarray(border_idx)], (0,))
         return out, jnp.int32(border_idx.size)
 
     G = _g_tiled(shape, dims, G_ENC)
@@ -1597,7 +1598,11 @@ def _encode_fp32_device(words, shape):
     flat = body2d.reshape(-1)
     out = jax.lax.dynamic_update_slice(flat, header, (0,))
     if border_idx.size:
-        border_vals = words[_border_nd(shape)]   # N-D gather, no relayout
+        # flat indexing: XLA composes reshape+gather into one shaped
+        # gather (free), and it measured faster than an explicit
+        # 2D-index gather; the N-D form only pays off for the decode
+        # SCATTER, which cannot see through the reshape (see _border_nd)
+        border_vals = words.reshape(-1)[jnp.asarray(border_idx)]
         out = jax.lax.dynamic_update_slice(out, border_vals, (num_hc + body_total,))
     length = num_hc + body_total + border_idx.size
     out = out[:bound]
