@@ -28,3 +28,21 @@ def decompress(stream, shape, dtype, backend="auto", **kwargs):
     from .api import make_offloader
 
     return make_offloader(backend, dtype, len(shape), **kwargs).decompress(stream, shape)
+
+
+def compress_device(data):
+    """Device-resident compress of a jax.Array on the TPU (Pallas backend):
+    returns (stream u32 jax.Array, length i32 scalar) without the data ever
+    leaving the chip.  The analog of the reference's cuda_compressor
+    (include/ndzip/cuda.hh:10-41); see api.compress_device."""
+    from .api import compress_device as f
+
+    return f(data)
+
+
+def decompress_device(stream, shape, dtype="float32"):
+    """Device-resident decompress (cuda.hh:28-41 analog); see
+    api.decompress_device."""
+    from .api import decompress_device as f
+
+    return f(stream, shape, dtype)

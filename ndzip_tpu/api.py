@@ -253,30 +253,143 @@ def make_decompressor(dtype, dims, backend="auto", threads=1) -> Decompressor:
     return cls(dtype, dims)
 
 
+def compress_device(data):
+    """Device-array compress on the Pallas TPU backend — the public analog
+    of the reference's device-pointer compressors (cuda.hh:10-41,
+    sycl.hh:45-108).  See codec_pallas.compress_device for the contract."""
+    from . import codec_pallas
+
+    return codec_pallas.compress_device(data)
+
+
+def decompress_device(stream, shape, dtype=np.float32):
+    """Device-array decompress (cuda.hh:28-41 analog); see
+    codec_pallas.decompress_device."""
+    from . import codec_pallas
+
+    return codec_pallas.decompress_device(stream, shape, dtype)
+
+
 class Offloader:
     """Host-array in/out round-trip interface with kernel timing
-    (offload.hh:8-71).  ``timing`` holds the last measured device duration;
-    for host backends it is wall time of the codec call."""
+    (offload.hh:8-71).
 
-    def __init__(self, dtype, dims, backend="auto", threads=1):
+    ``timing_mode`` selects what ``timing`` reports after each call:
+
+    * ``"wall"`` (default) — wall time of the codec call including host
+      staging and dispatch (cheapest; matches round-1 behavior).
+    * ``"device"`` — the reference's ``kernel_duration`` semantics
+      (offload.hh:16-24, cuda_codec.inl:687-704): the input is staged to
+      the device and fenced FIRST, then the jitted codec is timed between
+      ``block_until_ready`` fences — host<->device transfer excluded,
+      one dispatch included.  Only meaningful for jitted backends
+      (pallas/xla); host backends fall back to wall time.
+
+    ``measure(data)`` runs the two-point chained-loop protocol (the
+    bench.py device-timing method: two fori_loop chain lengths, slope of
+    the best-of-3 wall times) for dispatch-free device numbers, filling
+    ``timing`` with the result."""
+
+    def __init__(self, dtype, dims, backend="auto", threads=1,
+                 timing_mode="wall"):
+        if timing_mode not in ("wall", "device"):
+            raise ValueError("timing_mode must be 'wall' or 'device'")
         self.backend = _resolve_backend(backend)
         self._comp = make_compressor(dtype, dims, self.backend, threads)
         self._dec = make_decompressor(dtype, dims, self.backend, threads)
         self.dtype = self._comp.dtype
         self.dims = dims
         self.timing = KernelTiming()
+        self.timing_mode = timing_mode if self.backend in ("pallas", "xla") \
+            else "wall"
 
     def compress(self, data) -> tuple[np.ndarray, int]:
+        if self.timing_mode == "device":
+            return self._compress_device_timed(data)
         t0 = time.perf_counter_ns()
         stream, words = self._comp.compress(data)
         self.timing.compress_ns = time.perf_counter_ns() - t0
         return stream, words
 
     def decompress(self, stream, shape) -> np.ndarray:
+        if self.timing_mode == "device":
+            return self._decompress_device_timed(stream, shape)
         t0 = time.perf_counter_ns()
         out = self._dec.decompress(stream, shape)
         self.timing.decompress_ns = time.perf_counter_ns() - t0
         return out
+
+    # -- device-fenced timing (timing_mode="device") ------------------
+
+    def _stage_words(self, data):
+        import jax.numpy as jnp
+
+        from .ops import u64pair
+
+        data = np.ascontiguousarray(data)
+        self._comp._check(data)
+        if self._comp.word_bits == 64:
+            lo, hi = u64pair.split(data.view(np.uint64))
+            return (jnp.asarray(lo), jnp.asarray(hi))
+        return jnp.asarray(data.view(np.uint32))
+
+    def _compress_device_timed(self, data):
+        import jax
+
+        from . import utils
+
+        dev = self._stage_words(data)
+        stream, length = None, None
+
+        def run(d):
+            nonlocal stream, length
+            stream, length = compress_device(d)
+            return stream
+
+        self.timing.compress_ns = utils.device_time_ns(run, dev)
+        length = int(length)
+        words = length // (self._comp.word_bits // 32)
+        return np.asarray(stream[:length]), words
+
+    def _decompress_device_timed(self, stream, shape):
+        import jax.numpy as jnp
+
+        from . import utils
+        from .ops import u64pair
+
+        shape = tuple(shape)
+        dev = jnp.asarray(np.asarray(stream))
+        out = None
+
+        def run(s):
+            nonlocal out
+            out = decompress_device(s, shape, self.dtype)
+            return out
+
+        self.timing.decompress_ns = utils.device_time_ns(run, dev)
+        if self._comp.word_bits == 64:
+            return u64pair.join(np.asarray(out[0]), np.asarray(out[1])).view(
+                self.dtype).reshape(shape)
+        return np.asarray(out).view(self.dtype).reshape(shape)
+
+    # -- chained-loop measurement (dispatch-free device time) ---------
+
+    def measure(self, data, chains=(10, 50)) -> KernelTiming:
+        """Fill ``timing`` with chained-loop device durations for one
+        compress and one decompress of ``data`` (jitted backends only):
+        each chain folds the codec N times inside one fori_loop dispatch,
+        and the per-call time is the slope between the two chain lengths —
+        no host-sync or dispatch overhead in the figure, exactly how
+        bench.py and ubench.py time kernels."""
+        if self.backend not in ("pallas", "xla"):
+            raise ValueError("measure() requires a jitted backend (pallas/xla)")
+        from . import benchmark as _bench
+
+        comp_ns, dec_ns = _bench.chained_device_times(
+            data, backend=self.backend, chains=chains)
+        self.timing.compress_ns = comp_ns
+        self.timing.decompress_ns = dec_ns
+        return self.timing
 
     def compressed_length_bound(self, shape) -> int:
         return fmt.compressed_bound_words(tuple(shape), self._comp.word_bits)

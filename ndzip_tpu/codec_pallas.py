@@ -79,7 +79,17 @@ INTERPRET = False
 # see NDZIP_TPU_CACHE_DIR) should too.
 def _env_g(name, default):
     v = os.environ.get(name)
-    return int(v) if v else default
+    if not v:
+        return default
+    try:
+        g = int(v)
+    except ValueError as e:
+        raise ValueError(f"{name}={v!r} is not an integer") from e
+    if g <= 0 or g % 8 != 0:
+        raise ValueError(
+            f"{name}={g} invalid: grid-batch sizes must be positive "
+            "multiples of 8 (the tile adapters slice 8-block groups)")
+    return g
 
 
 G_ENC = _env_g("NDZIP_TPU_G_ENC", 8)        # encode, both dtypes
@@ -529,13 +539,6 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
             sm[2] = 0                    # total body words emitted
             carry_row[:] = jnp.zeros((1, LANES), jnp.uint32)
 
-        @pl.when(step > 0)
-        def _():
-            pltpu.make_async_copy(
-                staging.at[:], body_ref.at[pl.ds(0, R)], sem_body).wait()
-            pltpu.make_async_copy(
-                hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
-
         xf = _load_blocks(blocks_ref, mode, G)
         xf = forward_transform_flat(xf, dims)
 
@@ -545,20 +548,20 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         heads_rows = head_row_from_h1(heads_via_matmul(body))  # (G, 1, 128)
         dense = jnp.concatenate([heads_rows, body], axis=1)  # (G, 33, 128)
 
-        rows3 = jax.lax.broadcasted_iota(jnp.int32, dense.shape, 1)
-        blk = step * G + jax.lax.broadcasted_iota(jnp.int32, dense.shape, 0)
-        real = (blk < num_hc).astype(jnp.int32)
-        valid3 = (((rows3 == 0) | (dense != 0)).astype(jnp.int32)) * real
-
         # ---- step-flat assembly: carry row + all blocks
         fill = sm[1]
         step_flat = jnp.concatenate(
             [carry_row[:], dense.reshape(G * 33, LANES)], axis=0)  # (R, 128)
         rows, cols = (jax.lax.broadcasted_iota(jnp.int32, (R, LANES), d) for d in (0, 1))
-        carry_valid = ((rows == 0) & (cols < fill)).astype(jnp.int32)
-        valid = jnp.concatenate(
-            [jnp.zeros((1, LANES), jnp.int32), valid3.reshape(G * 33, LANES)], axis=0)
-        valid = valid | carry_valid
+        # validity straight off the flat layout (no 3D valid build + flat
+        # relayout): head rows sit at rows 1+33b (a static mask), real
+        # blocks satisfy rows < 1 + 33*(num_hc - step*G), and the carry
+        # row occupies lanes < fill
+        is_head = rows % 33 == 1
+        real_rows = rows < 1 + 33 * (num_hc - step * G)
+        valid = jnp.where(
+            rows == 0, cols < fill,
+            (is_head | (step_flat != 0)) & real_rows).astype(jnp.int32)
 
         # step compaction: in-row butterfly (7 lane-only rounds), per-row
         # rotation to the global lane offset, then ONE single-plane OR-merge
@@ -577,12 +580,20 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         can = j < cnt
         s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
         (comp,), _ = fv.compact_rows((step_flat,), s_local)
-        # the kernel's ONE data-dependent gather: Mosaic compile time
-        # multiplies ~4-5x per such gather (see compact_rows' note), so
-        # the rotation stays a single take_along_axis
-        part = jnp.where(can, jnp.take_along_axis(comp, j, axis=1), _u32(0))
+        (part,) = rotate_rows_to_offset((comp,), j, can)
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
+        # the previous step's output DMAs read staging/hdr_row; waiting
+        # here (not at kernel top) lets them overlap this step's whole
+        # compute phase (transform/transpose/compaction) before the
+        # buffers are overwritten
+        @pl.when(step > 0)
+        def _():
+            pltpu.make_async_copy(
+                staging.at[:], body_ref.at[pl.ds(0, R)], sem_body).wait()
+            pltpu.make_async_copy(
+                hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
+
         (merged,) = fv.merge_rows_or((part,), s_merge)
         staging[:] = merged
         csum = off + cnt
@@ -641,8 +652,8 @@ def _encode_blocks_fp32(blocks, dims, num_hc, start_word=None):
         grid=(nsteps,),
         in_specs=[pl.BlockSpec((1, G * 32, LANES), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         out_shape=(jax.ShapeDtypeStruct((bound_rows, LANES), jnp.uint32),
                    jax.ShapeDtypeStruct((nsteps, LANES), jnp.uint32)),
         scratch_shapes=[
@@ -659,25 +670,28 @@ def _encode_blocks_fp32(blocks, dims, num_hc, start_word=None):
     return body, hdr
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _encode_interior_fp32(words, shape, num_hc, G):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _encode_interior_fp32(words, shape, num_hc, G, start_word=None):
     """Tiled fast-path encode over the full array: multi-block tiles are
     DMA'd directly by the pipeline (no XLA gather transpose) and
     rearranged in-VMEM; border regions are never indexed (see
-    _tiled_layout)."""
+    _tiled_layout).  start_word=0 emits a body-only span (per-shard
+    encodes); the default (num_hc) leaves room for the header."""
+    if start_word is None:
+        start_word = num_hc
     dims = len(shape)
     in_spec = _tiled_input_spec(shape, dims, G)
     nsteps = num_hc // G
     R = 1 + G * 33
-    bound_rows = (num_hc + num_hc * (128 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
+    bound_rows = (start_word + num_hc * (128 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
     mode = "tile2d" if dims == 2 else "tile3d"
-    kernel, R = _encode_kernel_fp32(dims, num_hc, G, nsteps, num_hc, mode)
+    kernel, R = _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode)
     body, hdr = pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[in_spec],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         out_shape=(jax.ShapeDtypeStruct((bound_rows, LANES), jnp.uint32),
                    jax.ShapeDtypeStruct((nsteps, LANES), jnp.uint32)),
         scratch_shapes=[
@@ -699,6 +713,24 @@ def _encode_interior_fp32(words, shape, num_hc, G):
 # =====================================================================
 
 WIN_ROWS = 34  # 4224 max block words + up to 127 alignment slack
+
+
+def rotate_rows_to_offset(comp_planes, j, can):
+    """Per-row lane rotation of left-compacted rows to their global stream
+    lane alignment: one STACKED data-dependent take_along_axis across all
+    planes.  This is the encode kernels' only data-dependent gather site —
+    each additional such site multiplies Mosaic compile time ~4-5x (two
+    separate gathers pushed a fresh fp64 kernel past 10 minutes), so fp64
+    routes both u32 planes through one gather stacked on the row axis."""
+    R = comp_planes[0].shape[0]
+    if len(comp_planes) == 1:
+        rot = jnp.take_along_axis(comp_planes[0], j, axis=1)
+        return (jnp.where(can, rot, _u32(0)),)
+    stacked = jnp.concatenate(comp_planes, axis=0)
+    jj = jnp.concatenate([j] * len(comp_planes), axis=0)
+    rot = jnp.take_along_axis(stacked, jj, axis=1)
+    return tuple(jnp.where(can, rot[i * R : (i + 1) * R], _u32(0))
+                 for i in range(len(comp_planes)))
 
 
 def _row_prefix_excl(x, nrows):
@@ -844,7 +876,7 @@ def _decode_blocks_fp32(stream2d, starts, dims, num_hc):
         num_scalar_prefetch=1,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g, starts: (g, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -862,14 +894,27 @@ def _decode_blocks_fp32(stream2d, starts, dims, num_hc):
     return blocks.reshape(nb_pad, fmt.HC_SIZE)
 
 
+def _minor_padded_shape(shape, dims, G, gx):
+    """Kernel output shape for the padded tiled decode: the minor dim
+    rounded up to the gx*G-tile span.  Writing full tiles into this
+    padded array and slicing afterwards replaces per-tile CLIPPED stores
+    (every minor-axis tail tile on an unaligned shape, e.g. CESM's
+    3600-wide grid — half the tiles at gx=2) with full aligned stores."""
+    side = fmt.SIDE_LENGTH[dims]
+    m_pad = gx * G * side
+    return shape[:-1] + (max(shape[-1], m_pad),)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _decode_interior_fp32(stream2d, starts, shape, num_hc, G, gx):
-    """Tiled fast-path decode over the G-padded block grid: writes the
-    full-shape array directly via tiled out BlockSpecs (the pipeline DMAs
-    the rearranged tiles; no XLA scatter transpose).  `starts` is in
-    padded-grid order (_padded_block_ids); fake blocks and border
-    elements land in clipped or scatter-overwritten regions."""
+    """Tiled fast-path decode over the G-padded block grid: writes a
+    minor-dim-padded array directly via tiled out BlockSpecs (the pipeline
+    DMAs the rearranged tiles; no XLA scatter transpose, no clipped
+    stores) and slices to `shape`.  `starts` is in padded-grid order
+    (_padded_block_ids); fake blocks land in the sliced-off pad or in
+    border cells the caller's scatter overwrites."""
     dims = len(shape)
+    out_shape = _minor_padded_shape(shape, dims, G, gx)
     block_shape, imap, nb_padded = _tiled_layout_padded(shape, dims, G, gx)
     nsteps = nb_padded // G
     mode = "tile2d" if dims == 2 else "tile3d"
@@ -878,7 +923,7 @@ def _decode_interior_fp32(stream2d, starts, shape, num_hc, G, gx):
         num_scalar_prefetch=1,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(block_shape, lambda g, starts: imap(g),
                                memory_space=pltpu.VMEM),
@@ -887,12 +932,15 @@ def _decode_interior_fp32(stream2d, starts, shape, num_hc, G, gx):
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(shape, jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
         interpret=INTERPRET,
     )(starts, stream2d)
+    if out_shape != shape:
+        out = jax.lax.slice(out, (0,) * dims, shape)
+    return out
 
 
 # =====================================================================
@@ -1115,14 +1163,7 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         can = j < cnt
         s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
         (comp_lo, comp_hi), _ = fv.compact_rows((step_lo, step_hi), s_local)
-        # ONE data-dependent gather for both planes (stacked on the row
-        # axis): each such gather multiplies Mosaic compile time ~4-5x,
-        # and two of them pushed a fresh fp64 kernel past 10 minutes
-        comp2 = jnp.concatenate([comp_lo, comp_hi], axis=0)     # (2R, 128)
-        rot2 = jnp.take_along_axis(
-            comp2, jnp.concatenate([j, j], axis=0), axis=1)
-        part_lo = jnp.where(can, rot2[:R], _u32(0))
-        part_hi = jnp.where(can, rot2[R:], _u32(0))
+        part_lo, part_hi = rotate_rows_to_offset((comp_lo, comp_hi), j, can)
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
         c_lo, c_hi = fv.merge_rows_or((part_lo, part_hi), s_merge)
@@ -1183,8 +1224,8 @@ def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None):
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, G * 32, LANES), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         out_shape=(jax.ShapeDtypeStruct((2 * bound_rows, LANES), jnp.uint32),
                    jax.ShapeDtypeStruct((nsteps, LANES), jnp.uint32)),
         scratch_shapes=[
@@ -1205,14 +1246,16 @@ def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None):
     return body, hdr
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _encode_interior_fp64(lo, hi, shape, num_hc, G):
-    """Tiled fast-path fp64 encode over the full (lo, hi) plane arrays."""
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _encode_interior_fp64(lo, hi, shape, num_hc, G, start_word=None):
+    """Tiled fast-path fp64 encode over the full (lo, hi) plane arrays.
+    start_word (u64 units) = 0 emits a body-only span for per-shard
+    encodes; default leaves room for the header."""
     dims = len(shape)
     block_shape, imap = _tiled_layout(shape, dims, G)
     nsteps = num_hc // G
     R = 1 + G * 33
-    hw = fmt.header_words(num_hc, 64)
+    hw = fmt.header_words(num_hc, 64) if start_word is None else start_word
     bound_rows = (hw + num_hc * (64 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
     mode = "tile2d" if dims == 2 else "tile3d"
     kernel, R = _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode)
@@ -1221,8 +1264,8 @@ def _encode_interior_fp64(lo, hi, shape, num_hc, G):
         grid=(nsteps,),
         in_specs=[pl.BlockSpec(block_shape, imap),
                   pl.BlockSpec(block_shape, imap)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         out_shape=(jax.ShapeDtypeStruct((2 * bound_rows, LANES), jnp.uint32),
                    jax.ShapeDtypeStruct((nsteps, LANES), jnp.uint32)),
         scratch_shapes=[
@@ -1409,7 +1452,7 @@ def _decode_blocks_fp64(stream2d, starts, dims, num_hc):
         num_scalar_prefetch=1,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g, starts: (g, 0, 0),
                                 memory_space=pltpu.VMEM),
@@ -1433,9 +1476,11 @@ def _decode_blocks_fp64(stream2d, starts, dims, num_hc):
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _decode_interior_fp64(stream2d, starts, shape, num_hc, G, gx):
     """Tiled fast-path fp64 decode over the G-padded block grid: writes
-    the full-shape (lo, hi) plane arrays directly via tiled out
-    BlockSpecs (fake blocks / borders as in _decode_interior_fp32)."""
+    minor-dim-padded (lo, hi) plane arrays directly via tiled out
+    BlockSpecs and slices (fake blocks / clipping-free stores as in
+    _decode_interior_fp32)."""
     dims = len(shape)
+    out_shape = _minor_padded_shape(shape, dims, G, gx)
     block_shape, imap, nb_padded = _tiled_layout_padded(shape, dims, G, gx)
     nsteps = nb_padded // G
     mode = "tile2d" if dims == 2 else "tile3d"
@@ -1446,7 +1491,7 @@ def _decode_interior_fp64(stream2d, starts, shape, num_hc, G, gx):
         num_scalar_prefetch=1,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
@@ -1454,13 +1499,17 @@ def _decode_interior_fp64(stream2d, starts, shape, num_hc, G, gx):
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
-    return pl.pallas_call(
+    lo, hi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct(shape, jnp.uint32),
-                   jax.ShapeDtypeStruct(shape, jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+                   jax.ShapeDtypeStruct(out_shape, jnp.uint32)),
         interpret=INTERPRET,
     )(starts, stream2d)
+    if out_shape != shape:
+        lo = jax.lax.slice(lo, (0,) * dims, shape)
+        hi = jax.lax.slice(hi, (0,) * dims, shape)
+    return lo, hi
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -1653,6 +1702,70 @@ def _decode_fp32_device(stream, shape):
             stream, (num_hc + body_total,), (border_idx.size,))
         arr = arr.at[_border_nd(shape)].set(border_vals)
     return arr
+
+
+# =====================================================================
+# device API (jax.Array in/out, data stays on the TPU)
+# =====================================================================
+
+
+def compress_device(data) -> tuple:
+    """Device-resident compress — the TPU analog of the reference's
+    device-pointer compressors (include/ndzip/cuda.hh:10-41,
+    include/ndzip/sycl.hh:45-108): input and output never leave the chip,
+    so a JAX program can compress an array it already holds on device
+    (e.g. before a DCN transfer or a host checkpoint write).
+
+    ``data``: a float32/uint32 ``jax.Array`` of 1-3 dims, or a
+    ``(lo, hi)`` tuple of uint32 plane arrays for fp64 payloads (TPUs have
+    no 64-bit integer lanes; see ops/u64pair for host-side splitting).
+
+    Returns ``(stream, length)``: ``stream`` is the padded u32 stream
+    buffer sized to ``format.compressed_bound_u32`` (feed it to
+    ``decompress_device`` as-is), ``length`` a device int32 scalar of
+    occupied u32 words.  ``stream[:length]`` is byte-identical to every
+    other backend's output."""
+    if isinstance(data, tuple):
+        lo, hi = data
+        fmt.validate_shape(lo.shape)
+        if lo.dtype != jnp.uint32 or hi.dtype != jnp.uint32:
+            raise ValueError("fp64 device compress takes (lo, hi) uint32 planes")
+        return _encode_fp64_device(lo, hi, lo.shape)
+    fmt.validate_shape(data.shape)
+    if data.dtype == jnp.float32:
+        data = jax.lax.bitcast_convert_type(data, jnp.uint32)
+    elif data.dtype != jnp.uint32:
+        raise ValueError(
+            f"device compress supports float32/uint32 arrays or (lo, hi) "
+            f"uint32 plane tuples, got {data.dtype}")
+    return _encode_fp32_device(data, data.shape)
+
+
+def decompress_device(stream, shape, dtype=np.float32):
+    """Device-resident decompress (cuda.hh:28-41 analog).  ``stream`` is a
+    u32 device array holding the compressed chunk from word 0 (any length
+    >= the occupied words; extra tail words are ignored — pass
+    ``compress_device``'s padded buffer unchanged for zero-copy
+    round-trips).  Returns a ``jax.Array`` of ``shape``: float32/uint32
+    for 32-bit dtypes, a ``(lo, hi)`` uint32 plane tuple for fp64."""
+    shape = tuple(shape)
+    fmt.validate_shape(shape)
+    wb = fmt.word_bits_for_dtype(np.dtype(dtype))
+    need = fmt.compressed_bound_u32(shape, wb) + (wb // 32) * WIN_ROWS * LANES
+    if stream.shape[0] < need:
+        stream = _pad_stream_device(stream, need)
+    if wb == 64:
+        return _decode_fp64_device(stream, shape)
+    out = _decode_fp32_device(stream, shape)
+    if np.dtype(dtype) == np.float32:
+        out = jax.lax.bitcast_convert_type(out, jnp.float32)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pad_stream_device(stream, need):
+    return jnp.concatenate(
+        [stream, jnp.zeros(need - stream.shape[0], jnp.uint32)])
 
 
 # =====================================================================

@@ -61,3 +61,93 @@ def test_offloader_backend_resolution():
     data = np.ones((70, 66), np.float64)
     stream, _ = off.compress(data)
     assert np.array_equal(off.decompress(stream, data.shape), data)
+
+
+def test_device_api_roundtrip_fp32():
+    """compress_device/decompress_device keep data on-device end to end
+    (cuda.hh:10-41 analog) and the stream is bit-identical to golden."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndzip_tpu import codec_pallas, golden
+
+    prev_interpret = codec_pallas.INTERPRET
+    codec_pallas.INTERPRET = True
+    try:
+        data = np.sin(np.arange(4096 * 2 + 9, dtype=np.float32) * 0.01)
+        dev = jnp.asarray(data)
+        stream, length = api.compress_device(dev)
+        assert isinstance(stream, jax.Array) and isinstance(length, jax.Array)
+        g, gl = golden.compress(data)
+        assert int(length) == gl
+        assert np.asarray(stream[: int(length)]).tobytes() == g.tobytes()
+
+        out = api.decompress_device(stream, data.shape, np.float32)
+        assert isinstance(out, jax.Array)
+        assert out.dtype == jnp.float32
+        assert np.array_equal(np.asarray(out), data)
+
+        # short (exact-length) streams are padded internally
+        out2 = api.decompress_device(stream[: int(length)], data.shape)
+        assert np.array_equal(np.asarray(out2), data)
+    finally:
+        codec_pallas.INTERPRET = prev_interpret
+
+
+def test_device_api_roundtrip_fp64_planes():
+    import jax.numpy as jnp
+
+    from ndzip_tpu import codec_pallas, golden
+    from ndzip_tpu.ops import u64pair
+
+    prev_interpret = codec_pallas.INTERPRET
+    codec_pallas.INTERPRET = True
+    try:
+        data = np.cos(np.arange(4160, dtype=np.float64).reshape(65, 64))
+        lo, hi = u64pair.split(data.view(np.uint64))
+        stream, length = api.compress_device((jnp.asarray(lo), jnp.asarray(hi)))
+        g, gl = golden.compress(data)
+        assert np.asarray(stream[: int(length)]).tobytes() == g.tobytes()
+
+        out_lo, out_hi = api.decompress_device(stream, data.shape, np.float64)
+        got = u64pair.join(np.asarray(out_lo), np.asarray(out_hi)).view(np.float64)
+        assert np.array_equal(got.reshape(data.shape), data)
+    finally:
+        codec_pallas.INTERPRET = prev_interpret
+
+
+def test_device_api_rejects_bad_dtype():
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="device compress"):
+        api.compress_device(jnp.zeros(4096, jnp.int8))
+
+
+def test_offloader_device_timing_mode():
+    """timing_mode='device' stages input first and fences the jitted codec
+    (offload.hh:16-24 kernel_duration semantics)."""
+    data = np.sin(np.arange(4096 * 2 + 3, dtype=np.float32))
+    off = api.Offloader(np.float32, 1, backend="xla", timing_mode="device")
+    stream, words = off.compress(data)
+    assert off.timing.compress_ns > 0
+    out = off.decompress(stream, data.shape)
+    assert off.timing.decompress_ns > 0
+    assert np.array_equal(out, data)
+
+    # host backends silently fall back to wall timing
+    off_host = api.Offloader(np.float32, 1, backend="golden", timing_mode="device")
+    assert off_host.timing_mode == "wall"
+
+    with pytest.raises(ValueError, match="timing_mode"):
+        api.Offloader(np.float32, 1, timing_mode="events")
+
+
+def test_offloader_measure_chained():
+    data = np.sin(np.arange(4096 * 2, dtype=np.float32))
+    off = api.Offloader(np.float32, 1, backend="xla")
+    timing = off.measure(data, chains=(2, 10))
+    assert timing.compress_ns > 0 and timing.decompress_ns > 0
+
+    off_host = api.Offloader(np.float32, 1, backend="golden")
+    with pytest.raises(ValueError, match="jitted backend"):
+        off_host.measure(data)
