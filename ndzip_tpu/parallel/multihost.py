@@ -132,6 +132,11 @@ def compress_multihost(local_slab: np.ndarray, mesh=None) -> ShardStream:
         raise ValueError(
             f"local slab axis 0 ({local_shape[0]}) must be a multiple of the "
             f"block side length {side} so processes own whole block rows")
+    if fmt.num_hypercubes(global_shape) == 0:
+        raise ValueError(
+            f"global shape {global_shape} has no whole hypercube blocks "
+            f"(every axis must reach the side length {side}); all-border "
+            "grids must use a single-host codec (api.make_compressor)")
     if grid[0] % n_dev != 0:
         raise ValueError(
             f"global block grid {grid} major axis not divisible by {n_dev} devices")
@@ -303,6 +308,11 @@ def decompress_multihost(stream: np.ndarray, global_shape, dtype,
     word_u32 = wb // 32
     if global_shape[0] % (nproc * side) != 0:
         raise ValueError("global axis 0 must divide into block-aligned slabs")
+    if fmt.num_hypercubes(global_shape) == 0:
+        raise ValueError(
+            f"global shape {global_shape} has no whole hypercube blocks; "
+            "all-border grids must use a single-host codec "
+            "(api.make_decompressor)")
     local_rows = global_shape[0] // nproc
     local_shape = (local_rows,) + global_shape[1:]
 
@@ -339,8 +349,17 @@ def decompress_multihost(stream: np.ndarray, global_shape, dtype,
     sub_stream[sub_header_u32 + body_hi - body_lo :] = \
         stream[border_base : border_base + border_per_slab]
 
-    # decode the slab locally (per-process; the best local backend —
-    # Pallas on TPU, XLA elsewhere — via the public factory)
+    # decode the slab on every process-local chip: shard the slab's block
+    # rows over a mesh of this process's addressable devices (on a v5e-16
+    # that is 4 chips per host — a single-device decode would idle 3/4 of
+    # the slice during the decompression half of a round trip).  Falls
+    # back to one device only when the slab's block grid cannot split.
+    local_devs = jax.local_devices()
+    grid_local = fmt.grid_shape(local_shape)
+    if len(local_devs) > 1 and grid_local and grid_local[0] % len(local_devs) == 0:
+        local_mesh = sharded.make_mesh(local_devs)
+        return sharded.decompress_sharded(
+            sub_stream, local_shape, dtype, local_mesh)
     from .. import api
 
     dec = api.make_decompressor(dtype, dims, "auto")

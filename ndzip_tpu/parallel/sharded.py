@@ -48,6 +48,10 @@ def _shard_grid(shape, n_shards):
         raise ValueError(
             f"block grid {grid} major axis not divisible by {n_shards} shards")
     per_shard = fmt.num_hypercubes(shape) // n_shards
+    if per_shard == 0:
+        raise ValueError(
+            f"shape {shape} has no whole hypercube blocks to shard; "
+            "all-border grids must use a single-device codec")
     return per_shard
 
 
@@ -102,7 +106,13 @@ def _local_encode_parts(words_local, local_shape, dims, wb):
 def _local_encode_parts_pallas(words_local, local_shape, dims, wb):
     """Pallas fast path of _local_encode_parts: the fused single-pass
     encode kernel with start_word=0 emits exactly the body span this shard
-    contributes to the global stream (plus per-block offset entries)."""
+    contributes to the global stream (plus per-block offset entries).
+
+    Shard-local shapes are block-aligned by construction, so 2D/3D shards
+    take the tiled-BlockSpec interior kernel (multi-block tiles DMA'd
+    directly by the pipeline) — the same fast path as the single-chip
+    codec — rather than a pre-pass XLA gather transpose (measured
+    ~1.5-2.5 ms per 64 MiB, the round-1 sharded-encode gap)."""
     from .. import codec_pallas, codec_xla
 
     local_hc = fmt.num_hypercubes(local_shape)
@@ -110,6 +120,7 @@ def _local_encode_parts_pallas(words_local, local_shape, dims, wb):
     nb_pad = (local_hc + G - 1) // G * G
     bound = local_hc * fmt.Profile(wb, dims).compressed_block_length_bound
     bound_u32 = bound * (wb // 32)
+    G_t = codec_pallas._g_tiled(local_shape, dims, G) if dims > 1 else None
 
     def pad(blocks):
         if nb_pad == local_hc:
@@ -118,9 +129,14 @@ def _local_encode_parts_pallas(words_local, local_shape, dims, wb):
             [blocks, jnp.zeros((nb_pad - local_hc, fmt.HC_SIZE), jnp.uint32)], 0)
 
     if wb == 32:
-        blocks = pad(codec_xla._gather_blocks(words_local, local_shape))
-        body2d, hdr2d = codec_pallas._encode_blocks_fp32(
-            blocks, dims, local_hc, 0)
+        if G_t is not None:
+            body2d, hdr2d = codec_pallas._encode_interior_fp32(
+                words_local, local_shape, local_hc, G_t, 0)
+            G = G_t
+        else:
+            blocks = pad(codec_xla._gather_blocks(words_local, local_shape))
+            body2d, hdr2d = codec_pallas._encode_blocks_fp32(
+                blocks, dims, local_hc, 0)
         entries = hdr2d[:, :G].reshape(-1)[:local_hc]
         body = body2d.reshape(-1)
         body = body[:bound_u32] if body.shape[0] >= bound_u32 else jnp.pad(
@@ -128,10 +144,15 @@ def _local_encode_parts_pallas(words_local, local_shape, dims, wb):
         blen_u32 = jax.lax.bitcast_convert_type(entries[local_hc - 1], jnp.int32)
         return entries, body, blen_u32
     lo, hi = words_local
-    b_lo = pad(codec_xla._gather_blocks(lo, local_shape))
-    b_hi = pad(codec_xla._gather_blocks(hi, local_shape))
-    body2d, hdr2d = codec_pallas._encode_blocks_fp64(
-        b_lo, b_hi, dims, local_hc, 0)
+    if G_t is not None:
+        body2d, hdr2d = codec_pallas._encode_interior_fp64(
+            lo, hi, local_shape, local_hc, G_t, 0)
+        G = G_t
+    else:
+        b_lo = pad(codec_xla._gather_blocks(lo, local_shape))
+        b_hi = pad(codec_xla._gather_blocks(hi, local_shape))
+        body2d, hdr2d = codec_pallas._encode_blocks_fp64(
+            b_lo, b_hi, dims, local_hc, 0)
     entries = hdr2d[:, :G].reshape(-1)[:local_hc]
     body = body2d.reshape(-1)  # already the interleaved u32 stream
     body = body[:bound_u32] if body.shape[0] >= bound_u32 else jnp.pad(
