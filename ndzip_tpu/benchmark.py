@@ -20,12 +20,16 @@ Reproduces the reference's measurement methodology exactly:
   (benchmark.cc:263-265,346).
 * Output CSV: ``dataset;data type;dimensions;algorithm;tunable;number of
   threads;compression times (microseconds);decompression times
-  (microseconds);uncompressed bytes;compressed bytes`` with semicolon-
-  separated rep lists in double quotes (benchmark.cc:1332-1336,1487-1489).
+  (microseconds);uncompressed bytes;compressed bytes`` with comma-joined
+  rep lists (benchmark.cc:1332-1337) — parseable by the reference's
+  plot_benchmark.py and vice versa.
 
 Third-party competitors (benchmark.cc:1196-1253 builds 18 of them from
-vendored submodules; here we integrate everything importable in-image):
-memcpy, zlib/deflate, lzma, bz2, zstd.
+vendored submodules; no pip installs are possible in this image, so we
+integrate everything importable plus a native reimplementation): memcpy,
+zlib/deflate, lzma, bz2, zstd, fpc (native C++, see
+native/competitors.cc), and auto-activating fpzip/zfp/blosc2 wrappers
+that skip gracefully while those packages are absent.
 """
 
 from __future__ import annotations
@@ -276,6 +280,126 @@ class ZstdAlgorithm(_ByteCodecAlgorithm):
         return zstandard.ZstdDecompressor().decompress(comp, max_output_size=out_len)
 
 
+class FpcAlgorithm(Algorithm):
+    """FPC double-precision predictive compressor (native C++
+    reimplementation, native/competitors.cc) — the first of the
+    reference's domain-compressor competitors (benchmark.cc:1196-1253
+    "fpc").  Tunable = log2 of the predictor table entries, matching the
+    FPC level sweep (the reference benches its default level)."""
+
+    name = "fpc"
+    tunables = (16,)
+
+    def available(self, dataset):
+        if np.dtype(dataset.dtype) != np.float64:
+            return False  # FPC is a double-precision algorithm
+        from . import competitors
+
+        return competitors.fpc_available()
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        from . import competitors
+
+        flat = np.ascontiguousarray(data).reshape(-1)
+        comp = competitors.fpc_compress(flat, tunable)
+        out = competitors.fpc_decompress(comp, flat.size, tunable)
+        assert np.array_equal(out.view(np.uint64), flat.view(np.uint64)), \
+            "fpc: round-trip failed"
+        comp_times = _rep_loop(
+            lambda: competitors.fpc_compress(flat, tunable),
+            min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(
+            lambda: competitors.fpc_decompress(comp, flat.size, tunable),
+            min_time, min_reps, max_reps, True)
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, data.nbytes, len(comp))
+
+
+class FpzipAlgorithm(Algorithm):
+    """fpzip via the pip package, when installed (not in this image —
+    available() probes and skips; reference: benchmark.cc "fpzip")."""
+
+    name = "fpzip"
+
+    def available(self, dataset):
+        try:
+            import fpzip  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        import fpzip
+
+        comp = fpzip.compress(data, precision=0)
+        out = fpzip.decompress(comp)[tuple(slice(0, s) for s in data.shape)]
+        assert np.array_equal(out.reshape(data.shape).view(np.uint8),
+                              data.view(np.uint8)), "fpzip: round-trip failed"
+        comp_times = _rep_loop(lambda: fpzip.compress(data, precision=0),
+                               min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(lambda: fpzip.decompress(comp),
+                                 min_time, min_reps, max_reps, True)
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, data.nbytes, len(comp))
+
+
+class ZfpAlgorithm(Algorithm):
+    """zfp lossless via zfpy, when installed (not in this image;
+    reference: benchmark.cc "zfp")."""
+
+    name = "zfp"
+
+    def available(self, dataset):
+        try:
+            import zfpy  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        import zfpy
+
+        comp = zfpy.compress_numpy(data)
+        out = zfpy.decompress_numpy(comp)
+        assert np.array_equal(out.view(np.uint8), data.view(np.uint8)), \
+            "zfp: round-trip failed"
+        comp_times = _rep_loop(lambda: zfpy.compress_numpy(data),
+                               min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(lambda: zfpy.decompress_numpy(comp),
+                                 min_time, min_reps, max_reps, True)
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, data.nbytes, len(comp))
+
+
+class Blosc2Algorithm(_ByteCodecAlgorithm):
+    """blosc2 (shuffle + lz4/zstd), when installed (not in this image)."""
+
+    name = "blosc2"
+    tunables = (5,)
+
+    def available(self, dataset):
+        try:
+            import blosc2  # noqa: F401
+
+            self._typesize = np.dtype(dataset.dtype).itemsize
+            return True
+        except ImportError:
+            return False
+
+    def _compress(self, buf, tunable):
+        import blosc2
+
+        return blosc2.compress(buf, typesize=getattr(self, "_typesize", 8),
+                               clevel=tunable)
+
+    def _decompress(self, comp, out_len):
+        import blosc2
+
+        return blosc2.decompress(comp)
+
+
 class NdzipHostAlgorithm(Algorithm):
     """ndzip host backends: golden (numpy), cpu (native C++, 1..N threads),
     xla (jit on the default platform, host-timed)."""
@@ -374,7 +498,7 @@ class NdzipTpuAlgorithm(Algorithm):
                 s_ = jax.lax.dynamic_update_slice(
                     s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
                 w = dec_dev(s_)
-                first = w[0] if not isinstance(w, tuple) else w[0]
+                first = w[0] if isinstance(w, tuple) else w
                 return s_, acc + jax.lax.bitcast_convert_type(
                     first.reshape(-1)[0], jnp.int32)
             _, acc = jax.lax.fori_loop(0, chain, body, (s, jnp.int32(0)))
@@ -394,6 +518,96 @@ class NdzipTpuAlgorithm(Algorithm):
                            decomp_times, data.nbytes, length * 4)
 
 
+def chained_device_times(data, backend="pallas", chains=(10, 50)) -> tuple[int, int]:
+    """Dispatch-free device durations (ns) for one compress and one
+    decompress of ``data`` on a jitted backend: fold the codec N times
+    inside one fori_loop dispatch for each chain length in ``chains``
+    (inputs perturbed per iteration so XLA cannot CSE), take best-of-3
+    wall times, and return the slope between the two lengths — the
+    two-point protocol bench.py uses, surfaced for api.Offloader.measure().
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import u64pair
+
+    data = np.ascontiguousarray(data)
+    shape = tuple(data.shape)
+    wb = fmt.word_bits_for_dtype(data.dtype)
+    if backend == "pallas":
+        from . import codec_pallas as cod
+
+        if wb == 32:
+            dev_in = (jnp.asarray(data.view(np.uint32)),)
+            enc = lambda w: cod._encode_fp32_device(w, shape)
+            dec = lambda s: cod._decode_fp32_device(s, shape)
+        else:
+            lo, hi = u64pair.split(data.view(np.uint64))
+            dev_in = (jnp.asarray(lo), jnp.asarray(hi))
+            enc = lambda l, h: cod._encode_fp64_device(l, h, shape)
+            dec = lambda s: cod._decode_fp64_device(s, shape)
+        pad_for_decode = lambda st: cod._pad_for_decode(st, shape, wb)
+    elif backend == "xla":
+        from . import codec_xla as cod
+
+        if wb == 32:
+            dev_in = (jnp.asarray(data.view(np.uint32)),)
+        else:
+            lo, hi = u64pair.split(data.view(np.uint64))
+            dev_in = (jnp.asarray(lo), jnp.asarray(hi))
+        enc = cod.encode_fn(shape, wb)
+        dec = cod.decode_fn(shape, wb)
+
+        def pad_for_decode(st):
+            padded = np.zeros(fmt.compressed_bound_u32(shape, wb), np.uint32)
+            padded[: st.size] = st
+            return padded
+    else:
+        raise ValueError(f"chained timing needs a jitted backend, got {backend!r}")
+
+    padded, length = enc(*dev_in)
+    stream_dev = jnp.asarray(pad_for_decode(np.asarray(padded[: int(length)])))
+
+    def loops(chain):
+        @jax.jit
+        def enc_loop(ins):
+            def body(i, acc):
+                perturbed = tuple(w ^ i.astype(jnp.uint32) for w in ins)
+                p, ln = enc(*perturbed)
+                return acc + ln + jax.lax.bitcast_convert_type(p[0], jnp.int32)
+            return jax.lax.fori_loop(0, chain, body, jnp.int32(0))
+
+        @jax.jit
+        def dec_loop(s):
+            def body(i, carry):
+                s_, acc = carry
+                s_ = jax.lax.dynamic_update_slice(
+                    s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
+                w = dec(s_)
+                first = w[0] if isinstance(w, tuple) else w
+                return s_, acc + jax.lax.bitcast_convert_type(
+                    first.reshape(-1)[0], jnp.int32)
+            return jax.lax.fori_loop(0, chain, body, (s, jnp.int32(0)))[1]
+
+        return enc_loop, dec_loop
+
+    def best_of_3(fn, *args):
+        int(fn(*args))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter_ns()
+            int(fn(*args))
+            best = min(best, time.perf_counter_ns() - t0)
+        return best
+
+    c1, c2 = chains
+    e1, d1 = loops(c1)
+    e2, d2 = loops(c2)
+    enc_ns = (best_of_3(e2, dev_in) - best_of_3(e1, dev_in)) // (c2 - c1)
+    dec_ns = (best_of_3(d2, stream_dev) - best_of_3(d1, stream_dev)) // (c2 - c1)
+    return int(enc_ns), int(dec_ns)
+
+
 def default_algorithms() -> dict[str, Algorithm]:
     algos = [
         MemcpyAlgorithm(),
@@ -401,6 +615,10 @@ def default_algorithms() -> dict[str, Algorithm]:
         LzmaAlgorithm(),
         Bz2Algorithm(),
         ZstdAlgorithm(),
+        FpcAlgorithm(),
+        FpzipAlgorithm(),
+        ZfpAlgorithm(),
+        Blosc2Algorithm(),
         NdzipHostAlgorithm("golden"),
         NdzipHostAlgorithm("cpu"),
         NdzipHostAlgorithm("xla"),
@@ -419,8 +637,10 @@ CSV_HEADER = ("dataset;data type;dimensions;algorithm;tunable;"
 
 
 def format_row(ds: Dataset, r: BenchResult) -> str:
-    """benchmark.cc:1332-1336 CSV row format."""
-    fmt_times = lambda ts: '"' + ";".join(str(round(t * 1e6)) for t in ts) + '"'
+    """benchmark.cc:1332-1337 CSV row format: `;`-separated fields, rep-time
+    lists joined with `,` (benchmark.cc:1335) so the reference's
+    plot_benchmark.py parses this CSV unchanged (and vice versa)."""
+    fmt_times = lambda ts: ",".join(str(round(t * 1e6)) for t in ts)
     typ = "float" if ds.dtype == np.float32 else "double"
     return ";".join([
         ds.name, typ, str(len(ds.shape)), r.algorithm, str(r.tunable),

@@ -1,0 +1,107 @@
+"""Bindings for benchmark-only competitor codecs.
+
+The reference benchmark vendors 18 third-party compressors as git
+submodules and builds them into the harness
+(/root/reference/src/benchmark/benchmark.cc:1196-1253).  This image allows
+no pip installs, so the in-repo competitor set is:
+
+* byte codecs from the standard library / baked wheels (benchmark.py:
+  deflate, lzma, bzip2, zstd, memcpy),
+* ``fpc`` — a native C++ reimplementation of the FPC double-precision
+  predictive compressor (native/competitors.cc), built on demand like the
+  CPU codec,
+* optional pip wrappers (fpzip / zfp / blosc2) that activate automatically
+  if the packages are ever installed — ``available()`` probes the import
+  and skips gracefully otherwise (none are present in this image; see
+  benchmark.py's default_algorithms).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SRC = _NATIVE_DIR / "competitors.cc"
+_LIB = _NATIVE_DIR / "libndzip_competitors.so"
+_lock = threading.Lock()
+_lib = None
+
+
+class CompetitorUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    cmd = [os.environ.get("CXX", "g++"), "-O3", "-march=native",
+           "-funroll-loops", "-std=c++17", "-shared", "-fPIC",
+           str(_SRC), "-o", str(_LIB)]
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        raise CompetitorUnavailable(f"competitor build failed:\n{res.stderr}")
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _SRC.exists():
+            raise CompetitorUnavailable(f"source missing: {_SRC}")
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_LIB))
+        lib.fpc_bound.restype = ctypes.c_size_t
+        lib.fpc_bound.argtypes = [ctypes.c_size_t]
+        lib.fpc_compress.restype = ctypes.c_size_t
+        lib.fpc_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int]
+        lib.fpc_decompress.restype = ctypes.c_size_t
+        lib.fpc_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int]
+        _lib = lib
+        return lib
+
+
+def fpc_available() -> bool:
+    try:
+        _load()
+        return True
+    except CompetitorUnavailable:
+        return False
+
+
+def fpc_compress(data: np.ndarray, level: int = 16) -> bytes:
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    n = data.size
+    out = np.empty(lib.fpc_bound(n), np.uint8)
+    written = lib.fpc_compress(
+        data.ctypes.data_as(ctypes.c_void_p), n,
+        out.ctypes.data_as(ctypes.c_void_p), level)
+    if written == ctypes.c_size_t(-1).value:
+        raise RuntimeError("fpc_compress failed")
+    return out[:written].tobytes()
+
+
+def fpc_decompress(comp: bytes, n: int, level: int = 16) -> np.ndarray:
+    lib = _load()
+    # 8 bytes of tail slack: the decoder reads residuals as unaligned
+    # 8-byte loads masked to the live byte count
+    buf = np.zeros(len(comp) + 8, np.uint8)
+    buf[: len(comp)] = np.frombuffer(comp, np.uint8)
+    out = np.empty(n, np.float64)
+    got = lib.fpc_decompress(
+        buf.ctypes.data_as(ctypes.c_void_p), len(comp),
+        out.ctypes.data_as(ctypes.c_void_p), n, level)
+    if got != n:
+        raise RuntimeError("fpc_decompress failed")
+    return out

@@ -48,8 +48,11 @@ class Row:
 
 
 def _parse_times(cell: str) -> list[float]:
+    """Rep-time lists are comma-joined (benchmark.cc:1335); also accept the
+    legacy quoted semicolon-joined form emitted before round 2."""
     cell = cell.strip().strip('"')
-    return [int(x) / 1e6 for x in cell.split(";") if x]
+    sep = "," if "," in cell else ";"
+    return [int(x) / 1e6 for x in cell.split(sep) if x]
 
 
 def read_rows(fh) -> list[Row]:

@@ -90,6 +90,46 @@ def test_plot_tool_reads_harness_output(registry, tmp_path):
     assert "ndzip-golden" in buf.getvalue()
 
 
+def test_fpc_competitor_roundtrip(registry):
+    """The native FPC reimplementation (native/competitors.cc) round-trips
+    bit-exactly and registers as a double-only benchmark algorithm."""
+    from ndzip_tpu import competitors
+
+    if not competitors.fpc_available():
+        pytest.skip("no C++ toolchain for the competitor build")
+    rng = np.random.default_rng(5)
+    for d in (np.cumsum(rng.standard_normal(10_001)),
+              np.zeros(513), rng.standard_normal(1)):
+        comp = competitors.fpc_compress(d)
+        out = competitors.fpc_decompress(comp, d.size)
+        assert np.array_equal(out.view(np.uint64),
+                              np.ascontiguousarray(d).view(np.uint64))
+
+    algo = bm.FpcAlgorithm()
+    sets = bm.read_dataset_registry(registry)
+    f32, f64 = sets
+    assert not algo.available(f32)   # FPC is double-precision only
+    assert algo.available(f64)
+    r = algo.run(f64.load(), 16, 1, min_time=0.0, min_reps=1, max_reps=2)
+    assert r.compressed_bytes > 0 and r.comp_times and r.decomp_times
+
+
+def test_optional_pip_competitors_skip_gracefully(registry):
+    """fpzip/zfp/blosc2 wrappers must report unavailable (not raise) when
+    the packages are absent — and this image has none of them."""
+    sets = bm.read_dataset_registry(registry)
+    for algo in (bm.FpzipAlgorithm(), bm.ZfpAlgorithm(), bm.Blosc2Algorithm()):
+        assert isinstance(algo.available(sets[0]), bool)
+
+
+def test_csv_times_comma_joined(registry):
+    """benchmark.cc:1335 — rep-time lists are comma-joined, unquoted."""
+    ds = bm.read_dataset_registry(registry)[0]
+    r = bm.BenchResult("x", 1, 1, [1e-6, 2e-6], [3e-6], 8, 4)
+    row = bm.format_row(ds, r)
+    assert ";1,2;" in row and '"' not in row
+
+
 def test_synthetic_generator(tmp_path):
     sets = bm.make_synthetic(tmp_path / "s")
     assert len(sets) == 3
