@@ -137,16 +137,58 @@ class MmapInputStream(InputStream):
 
 
 class MmapOutputStream(OutputStream):
-    """ftruncate-grow output mapping (io.cc:178-246)."""
+    """ftruncate-grow output mapping (io.cc:178-246): the file is grown by
+    ``max_chunk_size`` with ftruncate, mapped MAP_SHARED, the chunk written
+    into the map, and the file truncated back to the committed size on
+    commit — so variable-size compressed chunks never over-allocate and the
+    final file length is exact without a second pass.
+
+    ``get_write_buffer``/``commit_chunk`` mirror the reference's zero-copy
+    protocol (io.cc:199-211); the returned view is invalidated by
+    ``commit_chunk`` (callers must release it first, as in C++ where the
+    pointer dangles after the munmap).  ``write_chunk`` wraps the pair."""
 
     def __init__(self, path: str):
-        self._f = open(path, "wb")
+        self._fd = os.open(path, os.O_RDWR | os.O_TRUNC | os.O_CREAT, 0o666)
+        self._size = 0       # committed bytes (io.cc:216)
+        self._capacity = 0   # current ftruncate'd capacity (io.cc:217)
+        self._map: Optional[mmap.mmap] = None
+
+    def _unmap_if_mapped(self):
+        if self._map is not None:
+            self._map.close()  # munmap (io.cc:220-225)
+            self._map = None
+
+    def _truncate(self, new_capacity: int):
+        self._unmap_if_mapped()
+        os.ftruncate(self._fd, new_capacity)  # io.cc:227-231
+        self._capacity = new_capacity
+
+    def get_write_buffer(self, max_chunk_size: int) -> memoryview:
+        if self._map is None:
+            self._truncate(self._size + max_chunk_size)
+            self._map = mmap.mmap(self._fd, self._capacity,
+                                  access=mmap.ACCESS_WRITE)  # io.cc:233-241
+        return memoryview(self._map)[self._size:]
+
+    def commit_chunk(self, length: int) -> None:
+        self._unmap_if_mapped()
+        self._size += length
+        self._truncate(self._size)
 
     def write_chunk(self, data):
-        self._f.write(bytes(memoryview(data).cast("B")))
+        view = memoryview(data).cast("B")
+        if not len(view):
+            return
+        buf = self.get_write_buffer(len(view))
+        buf[: len(view)] = view
+        buf.release()
+        self.commit_chunk(len(view))
 
     def close(self):
-        self._f.close()
+        self._unmap_if_mapped()
+        os.ftruncate(self._fd, self._size)
+        os.close(self._fd)
 
 
 # ---------------------------------------------------------------- factory

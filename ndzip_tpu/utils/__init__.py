@@ -86,6 +86,17 @@ def enable_compilation_cache(path: str | None = None) -> str:
     equivalent.  Returns the cache directory."""
     import jax
 
+    existing = jax.config.jax_compilation_cache_dir
+    if existing and path is None:
+        # The embedding application already configured a cache and the
+        # caller expressed no preference — respect it (never clobber), but
+        # lower the min-compile-time threshold if it would skip the
+        # codec's kernels.  An explicit ``path`` argument overrides.
+        cur = jax.config.jax_persistent_cache_min_compile_time_secs
+        if cur is None or cur > 1.0:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        log("compilation cache already at", existing, "(left as configured)")
+        return existing
     path = path or os.environ.get("NDZIP_TPU_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "ndzip_tpu", "xla")
     os.makedirs(path, exist_ok=True)

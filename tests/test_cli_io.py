@@ -85,6 +85,46 @@ def test_cli_truncated_input(tmp_path):
     assert "end of input" in err or "error" in err
 
 
+def test_mmap_output_stream_grow_truncate(tmp_path):
+    """io.cc:178-246 — grow-mapped output: over-allocating get_write_buffer
+    followed by a shorter commit_chunk must leave the file at the exact
+    committed size, across multiple variable-size chunks."""
+    path = tmp_path / "out.bin"
+    out = ndz_io.MmapOutputStream(str(path))
+    chunks = [b"a" * 1000, b"bc" * 7, b"z"]
+    for c in chunks:
+        buf = out.get_write_buffer(len(c) + 4096)  # over-allocate
+        assert path.stat().st_size >= len(c)       # file grown before write
+        buf[: len(c)] = c
+        buf.release()
+        out.commit_chunk(len(c))
+        assert path.stat().st_size == sum(map(len, chunks[: chunks.index(c) + 1]))
+    out.close()
+    assert path.read_bytes() == b"".join(chunks)
+
+    # write_chunk convenience wrapper drives the same grow/commit protocol
+    path2 = tmp_path / "out2.bin"
+    out2 = ndz_io.MmapOutputStream(str(path2))
+    out2.write_chunk(np.arange(7, dtype=np.uint32))
+    out2.write_chunk(b"")
+    out2.write_chunk(b"tail")
+    out2.close()
+    assert path2.read_bytes() == np.arange(7, dtype=np.uint32).tobytes() + b"tail"
+
+
+def test_warm_cli(tmp_path, monkeypatch):
+    """python -m ndzip_tpu.warm populates a persistent compile cache for
+    the requested shapes (XLA codec on CPU; pallas on TPU)."""
+    from ndzip_tpu import warm
+
+    monkeypatch.setenv("NDZIP_TPU_CACHE_DIR", str(tmp_path / "cache"))
+    assert warm.run(["--shapes", "4224", "--dtype", "float"]) == 0
+    with pytest.raises(SystemExit):
+        warm.build_parser().parse_args(["--shapes", "bad"])
+    # invalid shapes are skipped with a nonzero exit
+    assert warm.run(["--shapes", "2x2x2x2"]) == 1
+
+
 def test_compressed_chunk_bytes():
     data = RNG.standard_normal((70, 65)).astype(np.float32)
     stream, words = golden.compress(data)
