@@ -77,6 +77,9 @@ def _enc_probe(shape):
         ("rowmerge", fv, "merge_rows_or", lambda values, s: values),
         ("lanecnt", fv, "lane_count_prefix",
          lambda v: jnp.broadcast_to(jnp.ones_like(v), v.shape)),
+        ("rowscan", cp, "_row_prefix_excl", lambda x, nrows: x),
+        ("rotgather", cp, "rotate_rows_to_offset",
+         lambda planes, j, can: planes),
     ]
     return run, stubs
 
