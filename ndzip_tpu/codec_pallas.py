@@ -300,6 +300,55 @@ def blocks_to_tile_3d(blocks, G):
     return jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
 
 
+def _xor_cell_swap_rows32(x):
+    """Exchange the 3-bit HIGH row field (rows 32f+r, f in 0..7) with the
+    3-bit lane-cell field (lanes 16c+x) of a (256, 128) slab:
+
+        out[32c + r, 16f + x] = x[32f + r, 16c + x]
+
+    3 XOR-butterfly rounds; row rolls are whole-sublane-tile moves (32k
+    rows = 4k tiles) and lane rolls are multiples of 16 — no gathers.
+    Self-inverse."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 1)
+    f_r = rows >> 5
+    f_c = cols >> 4
+    for k in (1, 2, 4):
+        bit_r = (f_r & k) != 0
+        bit_c = (f_c & k) != 0
+        pr = jnp.where(bit_r, pltpu.roll(x, shift=32 * k, axis=0),
+                       pltpu.roll(x, shift=256 - 32 * k, axis=0))
+        pc = jnp.where(bit_c, pltpu.roll(pr, shift=16 * k, axis=1),
+                       pltpu.roll(pr, shift=128 - 16 * k, axis=1))
+        x = jnp.where(bit_r != bit_c, pc, x)
+    return x
+
+
+def tile_to_blocks_3d_bfly(tile, G):
+    """tile_to_blocks_3d via the XOR cell-swap butterfly: one static axis
+    permutation + 3 roll/select rounds per 128-lane slice instead of 8
+    lane gathers (candidate replacement; see dev/tile_xpose_probe.py)."""
+    outs = []
+    for t in range(G // 8):
+        q = tile[:, :, 128 * t : 128 * (t + 1)].reshape(16, 2, 8, LANES)
+        q = q.transpose(2, 0, 1, 3).reshape(256, LANES)  # rows 32*y9 + 2z + h
+        o = _xor_cell_swap_rows32(q)                     # rows 32*b + 2z + h
+        outs.append(o.reshape(8, 32, LANES))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def blocks_to_tile_3d_bfly(blocks, G):
+    """blocks_to_tile_3d via the XOR cell-swap butterfly (see
+    tile_to_blocks_3d_bfly)."""
+    outs = []
+    for t in range(G // 8):
+        b = blocks[8 * t : 8 * (t + 1)].reshape(256, LANES)  # rows 32b + 2z + h
+        o = _xor_cell_swap_rows32(b)                         # rows 32*y9 + 2z + h
+        tile = o.reshape(8, 16, 2, LANES).transpose(1, 2, 0, 3)
+        outs.append(tile.reshape(16, 16, LANES))
+    return jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+
+
 def forward_transform_flat(xf, dims):
     """xf: (G, 32, 128) uint32 flat blocks.  rotate -> diffs -> complement
     (common.hh:436-501)."""

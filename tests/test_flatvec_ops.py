@@ -145,6 +145,21 @@ class TestLayoutHelpers:
         assert np.array_equal(np.asarray(l3), np.asarray(lo))
         assert np.array_equal(np.asarray(h3), np.asarray(hi))
 
+    @pytest.mark.parametrize("G", [8, 16])
+    def test_tile3d_butterfly_matches_gather(self, G):
+        """The XOR cell-swap butterfly adapters are bit-identical to the
+        lane-gather adapters (both directions, round trip)."""
+        tile = jnp.asarray(
+            RNG.integers(0, 2**32, (16, 16, G * 16), dtype=np.uint32))
+        blocks = jnp.asarray(
+            RNG.integers(0, 2**32, (G, 32, 128), dtype=np.uint32))
+        assert np.array_equal(np.asarray(cp.tile_to_blocks_3d_bfly(tile, G)),
+                              np.asarray(cp.tile_to_blocks_3d(tile, G)))
+        assert np.array_equal(np.asarray(cp.blocks_to_tile_3d_bfly(blocks, G)),
+                              np.asarray(cp.blocks_to_tile_3d(blocks, G)))
+        rt = cp.blocks_to_tile_3d_bfly(cp.tile_to_blocks_3d_bfly(tile, G), G)
+        assert np.array_equal(np.asarray(rt), np.asarray(tile))
+
     def test_head_row_gather_and_spread(self):
         # h1: heads of chunks 4r..4r+3 at lanes 0..3 of row r -> lane c of
         # the head row
