@@ -34,6 +34,12 @@ WORKER = textwrap.dedent("""
         shape, dtype = (nproc * 128, 200), np.float32
     elif case == "f64_3d":
         shape, dtype = (nproc * 32, 33, 35), np.float64
+    elif case == "f32_2d_localmesh":
+        # 2 local devices per process: decompress_multihost must shard the
+        # slab decode over the process-local mesh (every chip busy)
+        shape, dtype = (nproc * 128, 200), np.float32
+        import jax
+        assert jax.local_device_count() == 2, jax.local_device_count()
     else:
         raise SystemExit(f"unknown case {{case}}")
 
@@ -68,14 +74,16 @@ def _free_port():
 
 
 @pytest.mark.parametrize("case,nproc", [
-    ("f32_2d", 2), ("f64_3d", 2), ("f32_2d", 4)])
+    ("f32_2d", 2), ("f64_3d", 2), ("f32_2d", 4), ("f32_2d_localmesh", 2)])
 def test_multihost_bit_exact(tmp_path, case, nproc):
     port = _free_port()
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
-    env["JAX_NUM_CPU_DEVICES"] = "1"  # one device per process
+    # localmesh: multiple devices per process so the slab decode shards
+    # over the process-local mesh (parallel/multihost.py decode routing)
+    env["JAX_NUM_CPU_DEVICES"] = "2" if case.endswith("localmesh") else "1"
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), str(nproc), str(port),
