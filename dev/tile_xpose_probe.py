@@ -43,10 +43,14 @@ def main(argv=None):
     print(f"# G={G} steps={nsteps} ({mb:.0f} MiB working set)")
 
     variants = {
-        "t2b_gather": (cp.tile_to_blocks_3d, (16, 16, G * 16), (G, 32, 128)),
-        "t2b_bfly": (cp.tile_to_blocks_3d_bfly, (16, 16, G * 16), (G, 32, 128)),
-        "b2t_gather": (cp.blocks_to_tile_3d, (G, 32, 128), (16, 16, G * 16)),
-        "b2t_bfly": (cp.blocks_to_tile_3d_bfly, (G, 32, 128), (16, 16, G * 16)),
+        "3d_t2b_gather": (cp.tile_to_blocks_3d, (16, 16, G * 16), (G, 32, 128)),
+        "3d_t2b_bfly": (cp.tile_to_blocks_3d_bfly, (16, 16, G * 16), (G, 32, 128)),
+        "3d_b2t_gather": (cp.blocks_to_tile_3d, (G, 32, 128), (16, 16, G * 16)),
+        "3d_b2t_bfly": (cp.blocks_to_tile_3d_bfly, (G, 32, 128), (16, 16, G * 16)),
+        "2d_t2b_gather": (cp.tile_to_blocks_2d, (64, G * 64), (G, 32, 128)),
+        "2d_t2b_bfly": (cp.tile_to_blocks_2d_bfly, (64, G * 64), (G, 32, 128)),
+        "2d_b2t_gather": (cp.blocks_to_tile_2d, (G, 32, 128), (64, G * 64)),
+        "2d_b2t_bfly": (cp.blocks_to_tile_2d_bfly, (G, 32, 128), (64, G * 64)),
     }
 
     rng = np.random.default_rng(0)

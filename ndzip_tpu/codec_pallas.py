@@ -300,6 +300,43 @@ def blocks_to_tile_3d(blocks, G):
     return jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
 
 
+def _xor_cell_swap_2d(x):
+    """2D analog of _xor_cell_swap_rows32 on a (64, 128) slab: exchange
+    row bit 0 with the lane-cell bit (cells of 64 lanes):
+
+        out[2q + c, 64h + l] = x[2q + h, 64c + l]
+
+    One butterfly round; the lane roll by 64 is direction-symmetric."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (64, LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (64, LANES), 1)
+    bit_r = (rows & 1) != 0
+    bit_c = cols >= 64
+    pr = jnp.where(bit_r, pltpu.roll(x, shift=1, axis=0),
+                   pltpu.roll(x, shift=63, axis=0))
+    pc = pltpu.roll(pr, shift=64, axis=1)
+    return jnp.where(bit_r != bit_c, pc, x)
+
+
+def tile_to_blocks_2d_bfly(tile, G):
+    """tile_to_blocks_2d via the XOR cell-swap butterfly (candidate
+    replacement for the lane-gather adapter; see dev/tile_xpose_probe.py)."""
+    outs = []
+    for t in range(G // 2):
+        o = _xor_cell_swap_2d(tile[:, 128 * t : 128 * (t + 1)])  # rows 2q+b
+        outs.append(o.reshape(32, 2, LANES).transpose(1, 0, 2))  # (b, q, 128)
+    return jnp.concatenate(outs, axis=0)
+
+
+def blocks_to_tile_2d_bfly(blocks, G):
+    """blocks_to_tile_2d via the XOR cell-swap butterfly."""
+    outs = []
+    for t in range(G // 2):
+        b = blocks[2 * t : 2 * (t + 1)]                      # (2, 32, 128)
+        q = b.transpose(1, 0, 2).reshape(64, LANES)          # rows 2q + b
+        outs.append(_xor_cell_swap_2d(q))                    # rows 2q + h
+    return jnp.concatenate(outs, axis=1)
+
+
 def _xor_cell_swap_rows32(x):
     """Exchange the 3-bit HIGH row field (rows 32f+r, f in 0..7) with the
     3-bit lane-cell field (lanes 16c+x) of a (256, 128) slab:
@@ -632,10 +669,11 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         (part,) = rotate_rows_to_offset((comp,), j, can)
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
+        (merged,) = fv.merge_rows_or((part,), s_merge)
         # the previous step's output DMAs read staging/hdr_row; waiting
-        # here (not at kernel top) lets them overlap this step's whole
-        # compute phase (transform/transpose/compaction) before the
-        # buffers are overwritten
+        # immediately before the first overwrite of those buffers lets
+        # them overlap this step's whole compute phase (transform/
+        # transpose/compaction/merge)
         @pl.when(step > 0)
         def _():
             pltpu.make_async_copy(
@@ -643,7 +681,6 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
             pltpu.make_async_copy(
                 hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
 
-        (merged,) = fv.merge_rows_or((part,), s_merge)
         staging[:] = merged
         csum = off + cnt
 
@@ -1160,13 +1197,6 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
             carry_lo[:] = jnp.zeros((1, LANES), jnp.uint32)
             carry_hi[:] = jnp.zeros((1, LANES), jnp.uint32)
 
-        @pl.when(step > 0)
-        def _():
-            pltpu.make_async_copy(
-                stag32.at[:], body_ref.at[pl.ds(0, 2 * R)], sem_body).wait()
-            pltpu.make_async_copy(
-                hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
-
         lo = _load_blocks(lo_ref, mode, G)
         hi = _load_blocks(hi_ref, mode, G)
         lo, hi = forward_transform_flat_pair(lo, hi, dims)
@@ -1178,14 +1208,6 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         dense_lo = jnp.concatenate([heads_lo, body_lo], axis=1)  # (G, 33, 128)
         dense_hi = jnp.concatenate([heads_hi, body_hi], axis=1)
 
-        rows3 = jax.lax.broadcasted_iota(jnp.int32, dense_lo.shape, 1)
-        cols3 = jax.lax.broadcasted_iota(jnp.int32, dense_lo.shape, 2)
-        blk = step * G + jax.lax.broadcasted_iota(jnp.int32, dense_lo.shape, 0)
-        real = (blk < num_hc).astype(jnp.int32)
-        valid3 = jnp.where(
-            rows3 == 0, (cols3 < 64).astype(jnp.int32),
-            ((dense_lo | dense_hi) != 0).astype(jnp.int32)) * real
-
         # ---- step-flat assembly: carry row + all blocks (both planes)
         fill = sm[1]
         step_lo = jnp.concatenate(
@@ -1193,10 +1215,15 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         step_hi = jnp.concatenate(
             [carry_hi[:], dense_hi.reshape(G * 33, LANES)], axis=0)
         rows, cols = (jax.lax.broadcasted_iota(jnp.int32, (R, LANES), d) for d in (0, 1))
-        carry_valid = ((rows == 0) & (cols < fill)).astype(jnp.int32)
-        valid = jnp.concatenate(
-            [jnp.zeros((1, LANES), jnp.int32), valid3.reshape(G * 33, LANES)], axis=0)
-        valid = valid | carry_valid
+        # validity straight off the flat layout (as in the fp32 kernel):
+        # head rows (rows 1+33b) hold exactly 64 u64 head words, real
+        # blocks satisfy the row bound, the carry row fills lanes < fill
+        is_head = rows % 33 == 1
+        real_rows = rows < 1 + 33 * (num_hc - step * G)
+        valid = jnp.where(
+            rows == 0, cols < fill,
+            jnp.where(is_head, cols < 64, (step_lo | step_hi) != 0)
+            & real_rows).astype(jnp.int32)
 
         # step compaction: same two-phase route as the fp32 kernel (in-row
         # butterfly + per-row rotation + one single-plane-per-plane OR-merge
@@ -1218,6 +1245,17 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         c_lo, c_hi = fv.merge_rows_or((part_lo, part_hi), s_merge)
         stag_lo[:] = c_lo
         stag_hi[:] = c_hi
+        # the previous step's output DMAs read stag32/hdr_row (stag_lo/hi
+        # are not DMA sources); waiting immediately before the stag32
+        # overwrite overlaps the DMAs with this step's whole compute phase
+        # including the merge
+        @pl.when(step > 0)
+        def _():
+            pltpu.make_async_copy(
+                stag32.at[:], body_ref.at[pl.ds(0, 2 * R)], sem_body).wait()
+            pltpu.make_async_copy(
+                hdr_row.at[:], hdr_ref.at[pl.ds(0, 1)], sem_hdr).wait()
+
         # interleave the compacted planes into u32 stream rows in-kernel
         # (XLA's (N, 2) minor-dim interleave measured ~13 ms for 68 MB)
         stag32[:] = interleave_planes_rows(c_lo, c_hi)

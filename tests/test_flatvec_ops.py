@@ -160,6 +160,17 @@ class TestLayoutHelpers:
         rt = cp.blocks_to_tile_3d_bfly(cp.tile_to_blocks_3d_bfly(tile, G), G)
         assert np.array_equal(np.asarray(rt), np.asarray(tile))
 
+    @pytest.mark.parametrize("G", [2, 8, 16])
+    def test_tile2d_butterfly_matches_gather(self, G):
+        tile = jnp.asarray(
+            RNG.integers(0, 2**32, (64, G * 64), dtype=np.uint32))
+        blocks = jnp.asarray(
+            RNG.integers(0, 2**32, (G, 32, 128), dtype=np.uint32))
+        assert np.array_equal(np.asarray(cp.tile_to_blocks_2d_bfly(tile, G)),
+                              np.asarray(cp.tile_to_blocks_2d(tile, G)))
+        assert np.array_equal(np.asarray(cp.blocks_to_tile_2d_bfly(blocks, G)),
+                              np.asarray(cp.blocks_to_tile_2d(blocks, G)))
+
     def test_head_row_gather_and_spread(self):
         # h1: heads of chunks 4r..4r+3 at lanes 0..3 of row r -> lane c of
         # the head row
