@@ -669,7 +669,12 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         (part,) = rotate_rows_to_offset((comp,), j, can)
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
-        (merged,) = fv.merge_rows_or((part,), s_merge)
+        # shifts r - prow(r) are non-decreasing in r (prow steps by <= 1
+        # per row), so the last row bounds every live shift — high merge
+        # rounds are skipped at runtime when compression this step cannot
+        # reach them (they only fire on near-empty steps)
+        ms = (R - 1) - (off[R - 1, 0] >> 7)
+        (merged,) = fv.merge_rows_or((part,), s_merge, ms)
         # the previous step's output DMAs read staging/hdr_row; waiting
         # immediately before the first overwrite of those buffers lets
         # them overlap this step's whole compute phase (transform/
@@ -1242,7 +1247,8 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         part_lo, part_hi = rotate_rows_to_offset((comp_lo, comp_hi), j, can)
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
-        c_lo, c_hi = fv.merge_rows_or((part_lo, part_hi), s_merge)
+        ms = (R - 1) - (off[R - 1, 0] >> 7)   # see the fp32 kernel's note
+        c_lo, c_hi = fv.merge_rows_or((part_lo, part_hi), s_merge, ms)
         stag_lo[:] = c_lo
         stag_hi[:] = c_hi
         # the previous step's output DMAs read stag32/hdr_row (stag_lo/hi

@@ -234,7 +234,7 @@ def compact_rows(values, s):
     return (vals[0] if single else vals), s
 
 
-def merge_rows_or(values, s):
+def merge_rows_or(values, s, max_shift=None):
     """Monotone upward ROW compaction with OR-merge on equal destinations.
 
     `values`: tuple of (R, 128) planes; `s`: (R, 128) int32 per-slot upward
@@ -246,7 +246,14 @@ def merge_rows_or(values, s):
     remaining live shifts are multiples of k, so a mover landing on a live
     stayer has the same destination (remaining shifts equal — the merged
     slot keeps routing correctly) and vacated slots go dead (replaced, not
-    OR'd, by any later arrival)."""
+    OR'd, by any later arrival).
+
+    `max_shift` (optional int32 scalar): a runtime upper bound on every
+    live shift in `s`.  Rounds k >= 64 whose bit cannot occur are skipped
+    via lax.cond — in the encode kernels the shifts are the rows saved by
+    compression, so at typical ratios the top rounds never fire (an
+    all-zero step still takes them; the bound makes that exact, not
+    heuristic)."""
     vals = values
     R = s.shape[-2]
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 2)
@@ -254,19 +261,27 @@ def merge_rows_or(values, s):
     s = jnp.where(s < 0, dead, s)
     k = 1
     while k < R:
-        ss = _roll(s, R - k, s.ndim - 2)                   # s[r + k]
-        ss = jnp.where(rows < R - k, ss, dead)
-        incoming = (ss & k) != 0
-        move = (s & k) != 0
-        stay_live = (s != dead) & ~move
-        new_vals = []
-        for v in vals:
-            v_in = _roll(v, R - k, v.ndim - 2)
-            new_vals.append(jnp.where(
-                incoming & stay_live, v | v_in,
-                jnp.where(incoming, v_in, v)))
-        vals = tuple(new_vals)
-        s = jnp.where(incoming, ss - k, jnp.where(move, dead, s))
+        def round_k(vals_s, k=k):
+            vals, s = vals_s[:-1], vals_s[-1]
+            ss = _roll(s, R - k, s.ndim - 2)               # s[r + k]
+            ss = jnp.where(rows < R - k, ss, dead)
+            incoming = (ss & k) != 0
+            move = (s & k) != 0
+            stay_live = (s != dead) & ~move
+            new_vals = []
+            for v in vals:
+                v_in = _roll(v, R - k, v.ndim - 2)
+                new_vals.append(jnp.where(
+                    incoming & stay_live, v | v_in,
+                    jnp.where(incoming, v_in, v)))
+            s = jnp.where(incoming, ss - k, jnp.where(move, dead, s))
+            return (*new_vals, s)
+        if max_shift is not None and k >= 64:
+            vals_s = jax.lax.cond(max_shift >= k, round_k,
+                                  lambda t: t, (*vals, s))
+        else:
+            vals_s = round_k((*vals, s))
+        vals, s = vals_s[:-1], vals_s[-1]
         k <<= 1
     return vals
 

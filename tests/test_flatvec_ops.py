@@ -117,6 +117,13 @@ class TestRouting:
         assert np.array_equal(out, expect)
         assert np.array_equal(np.asarray(m2).reshape(-1)[: expect.size], ~expect)
 
+        # round-gated variant: (n_rows-1) - prow[-1] bounds every live
+        # shift (the encode kernels' bound), so results must be identical
+        ms = jnp.int32(n_rows - 1 - prow[-1, 0])
+        (g,) = fv.merge_rows_or((jnp.asarray(part.astype(np.uint32)),),
+                                jnp.asarray(s_merge.astype(np.int32)), ms)
+        assert np.array_equal(np.asarray(g).reshape(-1)[: expect.size], expect)
+
 
 class TestLayoutHelpers:
     def test_interleave_deinterleave_round_trip(self):
