@@ -253,11 +253,17 @@ def merge_rows_or(values, s, max_shift=None):
     via lax.cond — in the encode kernels the shifts are the rows saved by
     compression, so at typical ratios the top rounds never fire (an
     all-zero step still takes them; the bound makes that exact, not
-    heuristic)."""
-    vals = values
+    heuristic).
+
+    Dead slots are ZEROED up front and kept zero, which collapses the
+    per-plane round update to base = move ? 0 : v; v = incoming ?
+    base | v_in : base — a mover that vacates leaves 0 behind, so an
+    arrival never needs a separate live-stayer test (OR with 0 is the
+    replacement case)."""
     R = s.shape[-2]
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 2)
     dead = jnp.full((), _DEAD_BIT, s.dtype)
+    vals = tuple(jnp.where(s < 0, jnp.zeros((), v.dtype), v) for v in values)
     s = jnp.where(s < 0, dead, s)
     k = 1
     while k < R:
@@ -267,13 +273,11 @@ def merge_rows_or(values, s, max_shift=None):
             ss = jnp.where(rows < R - k, ss, dead)
             incoming = (ss & k) != 0
             move = (s & k) != 0
-            stay_live = (s != dead) & ~move
             new_vals = []
             for v in vals:
                 v_in = _roll(v, R - k, v.ndim - 2)
-                new_vals.append(jnp.where(
-                    incoming & stay_live, v | v_in,
-                    jnp.where(incoming, v_in, v)))
+                base = jnp.where(move, jnp.zeros((), v.dtype), v)
+                new_vals.append(jnp.where(incoming, base | v_in, base))
             s = jnp.where(incoming, ss - k, jnp.where(move, dead, s))
             return (*new_vals, s)
         if max_shift is not None and k >= 64:
