@@ -159,6 +159,7 @@ class BenchResult:
 class Algorithm:
     name = "?"
     tunables = (1,)
+    threaded = False  # True: sweep the -T thread list (parallel algorithms)
 
     def available(self, dataset: Dataset) -> bool:
         return True
@@ -315,6 +316,41 @@ class FpcAlgorithm(Algorithm):
                            decomp_times, data.nbytes, len(comp))
 
 
+class PfpcAlgorithm(Algorithm):
+    """pFPC: chunk-parallel FPC over std::thread (native/competitors.cc),
+    following the pFPC design vendored by the reference (benchmark.cc
+    "pfpc").  Sweeps the -T thread list like ndzip-cpu; tunable = log2
+    predictor table entries, as for fpc."""
+
+    name = "pfpc"
+    tunables = (16,)
+    threaded = True
+
+    def available(self, dataset):
+        if np.dtype(dataset.dtype) != np.float64:
+            return False  # FPC is a double-precision algorithm
+        from . import competitors
+
+        return competitors.fpc_available()
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        from . import competitors
+
+        flat = np.ascontiguousarray(data).reshape(-1)
+        comp = competitors.pfpc_compress(flat, tunable, threads)
+        out = competitors.pfpc_decompress(comp, flat.size, tunable)
+        assert np.array_equal(out.view(np.uint64), flat.view(np.uint64)), \
+            "pfpc: round-trip failed"
+        comp_times = _rep_loop(
+            lambda: competitors.pfpc_compress(flat, tunable, threads),
+            min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(
+            lambda: competitors.pfpc_decompress(comp, flat.size, tunable),
+            min_time, min_reps, max_reps, True)
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, data.nbytes, len(comp))
+
+
 class FpzipAlgorithm(Algorithm):
     """fpzip via the pip package, when installed (not in this image —
     available() probes and skips; reference: benchmark.cc "fpzip")."""
@@ -407,6 +443,7 @@ class NdzipHostAlgorithm(Algorithm):
     def __init__(self, backend: str):
         self.backend = backend
         self.name = f"ndzip-{backend}"
+        self.threaded = backend == "cpu"
 
     def available(self, dataset):
         if self.backend == "cpu":
@@ -616,6 +653,7 @@ def default_algorithms() -> dict[str, Algorithm]:
         Bz2Algorithm(),
         ZstdAlgorithm(),
         FpcAlgorithm(),
+        PfpcAlgorithm(),
         FpzipAlgorithm(),
         ZfpAlgorithm(),
         Blosc2Algorithm(),
@@ -656,7 +694,7 @@ def benchmark_file(ds: Dataset, algorithms: dict[str, Algorithm],
         if not algo.available(ds):
             print(f"# {name}: not available, skipped", file=sys.stderr)
             continue
-        thread_opts = threads_list if name == "ndzip-cpu" else [1]
+        thread_opts = threads_list if algo.threaded else [1]
         for threads in thread_opts:
             for tunable in algo.tunables:
                 try:

@@ -10,6 +10,9 @@ no pip installs, so the in-repo competitor set is:
 * ``fpc`` — a native C++ reimplementation of the FPC double-precision
   predictive compressor (native/competitors.cc), built on demand like the
   CPU codec,
+* ``pfpc`` — chunk-parallel FPC over std::thread (same core, independent
+  predictor state per chunk), following the pFPC design the reference
+  vendors (benchmark.cc "pfpc"),
 * optional pip wrappers (fpzip / zfp / blosc2) that activate automatically
   if the packages are ever installed — ``available()`` probes the import
   and skips gracefully otherwise (none are present in this image; see
@@ -67,6 +70,16 @@ def _load():
         lib.fpc_decompress.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_size_t, ctypes.c_int]
+        lib.pfpc_bound.restype = ctypes.c_size_t
+        lib.pfpc_bound.argtypes = [ctypes.c_size_t, ctypes.c_int]
+        lib.pfpc_compress.restype = ctypes.c_size_t
+        lib.pfpc_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int]
+        lib.pfpc_decompress.restype = ctypes.c_size_t
+        lib.pfpc_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int]
         _lib = lib
         return lib
 
@@ -104,4 +117,34 @@ def fpc_decompress(comp: bytes, n: int, level: int = 16) -> np.ndarray:
         out.ctypes.data_as(ctypes.c_void_p), n, level)
     if got != n:
         raise RuntimeError("fpc_decompress failed")
+    return out
+
+
+def pfpc_compress(data: np.ndarray, level: int = 16,
+                  threads: int = 0) -> bytes:
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    n = data.size
+    out = np.empty(lib.pfpc_bound(n, threads), np.uint8)
+    written = lib.pfpc_compress(
+        data.ctypes.data_as(ctypes.c_void_p), n,
+        out.ctypes.data_as(ctypes.c_void_p), level, threads)
+    if written == ctypes.c_size_t(-1).value:
+        raise RuntimeError("pfpc_compress failed")
+    return out[:written].tobytes()
+
+
+def pfpc_decompress(comp: bytes, n: int, level: int = 16) -> np.ndarray:
+    lib = _load()
+    # same 8-byte tail slack as fpc (the last chunk's residual loads)
+    buf = np.zeros(len(comp) + 8, np.uint8)
+    buf[: len(comp)] = np.frombuffer(comp, np.uint8)
+    out = np.empty(n, np.float64)
+    got = lib.pfpc_decompress(
+        buf.ctypes.data_as(ctypes.c_void_p), len(comp),
+        out.ctypes.data_as(ctypes.c_void_p), n, level)
+    if got != n:
+        raise RuntimeError("pfpc_decompress failed")
     return out

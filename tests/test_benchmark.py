@@ -114,6 +114,39 @@ def test_fpc_competitor_roundtrip(registry):
     assert r.compressed_bytes > 0 and r.comp_times and r.decomp_times
 
 
+def test_pfpc_competitor_roundtrip(registry):
+    """Chunk-parallel FPC round-trips bit-exactly for any thread count
+    (including thread counts that do not divide the value count), decodes
+    streams from a different thread count, and sweeps -T in the registry."""
+    from ndzip_tpu import competitors
+
+    if not competitors.fpc_available():
+        pytest.skip("no C++ toolchain for the competitor build")
+    rng = np.random.default_rng(6)
+    data = np.cumsum(rng.standard_normal(32_003))
+    serial = competitors.fpc_compress(data)
+    for threads in (1, 2, 3, 7):
+        comp = competitors.pfpc_compress(data, threads=threads)
+        out = competitors.pfpc_decompress(comp, data.size)
+        assert np.array_equal(out.view(np.uint64), data.view(np.uint64))
+        # chunking costs a little ratio vs serial FPC, never an order
+        assert len(comp) < len(serial) * 1.1 + 64
+    for d in (np.zeros(513), rng.standard_normal(1), rng.standard_normal(0)):
+        comp = competitors.pfpc_compress(d, threads=4)
+        out = competitors.pfpc_decompress(comp, d.size)
+        assert np.array_equal(out.view(np.uint64),
+                              np.ascontiguousarray(d).view(np.uint64))
+
+    algo = bm.PfpcAlgorithm()
+    assert algo.threaded  # sweeps the -T list like ndzip-cpu
+    sets = bm.read_dataset_registry(registry)
+    f32, f64 = sets
+    assert not algo.available(f32)
+    assert algo.available(f64)
+    r = algo.run(f64.load(), 16, 2, min_time=0.0, min_reps=1, max_reps=2)
+    assert r.compressed_bytes > 0 and r.threads == 2
+
+
 def test_optional_pip_competitors_skip_gracefully(registry):
     """fpzip/zfp/blosc2 wrappers must report unavailable (not raise) when
     the packages are absent — and this image has none of them."""
