@@ -73,6 +73,24 @@ def test_mosaic_roundtrip_matches_golden(shape, dtype):
                           data.view(np.uint8).reshape(-1))
 
 
+def test_merge_gate_extremes_on_hardware():
+    """Both branches of the encode merge's runtime round gate, on the
+    SAME compiled kernel as the flat-1D case above (no extra compile):
+    all-zero data maximizes the per-step shift bound (every gated round
+    fires), i.i.d. uniform mantissa bits are near-incompressible (bound
+    ~0, every gated round is skipped).  Streams must equal golden's
+    either way."""
+    shape = (4096 * 16 + 33,)
+    zero = np.zeros(shape, np.float32)
+    dense = RNG.integers(0, 2**32, shape, dtype=np.uint32).view(np.float32)
+    for data in (zero, dense):
+        g, gl = golden.compress(data)
+        s, l = codec_pallas.compress(data)
+        assert l == gl and s.tobytes() == g.tobytes()
+        out = codec_pallas.decompress(s, shape, np.float32)
+        assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
+
+
 def test_device_api_on_hardware():
     import jax.numpy as jnp
 
