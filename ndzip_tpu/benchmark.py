@@ -213,6 +213,40 @@ class MemcpyAlgorithm(Algorithm):
                            decomp_times, src.nbytes, src.nbytes)
 
 
+class MemcpyMtAlgorithm(Algorithm):
+    """Threaded memcpy baseline (benchmark.cc "memcpy-mt"): the DRAM
+    bandwidth ceiling with -T threads.  np.copyto on large slices releases
+    the GIL, so plain Python threads scale the copy."""
+
+    name = "memcpy-mt"
+    threaded = True
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        import threading
+
+        src = np.frombuffer(data.tobytes(), dtype=np.uint8)
+        dst = np.empty_like(src)
+        t = max(1, threads)
+        cuts = [src.nbytes * i // t for i in range(t + 1)]
+
+        def do():
+            ts = [threading.Thread(
+                target=np.copyto,
+                args=(dst[cuts[i]:cuts[i + 1]], src[cuts[i]:cuts[i + 1]]))
+                for i in range(t)]
+            for th in ts:
+                th.start()
+            for th in ts:
+                th.join()
+
+        do()
+        assert dst.tobytes() == src.tobytes()
+        comp_times = _rep_loop(do, min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(do, min_time, min_reps, max_reps, True)
+        return BenchResult(self.name, tunable, t, comp_times,
+                           decomp_times, src.nbytes, src.nbytes)
+
+
 class ZlibAlgorithm(_ByteCodecAlgorithm):
     name = "deflate"
     tunables = (1, 9)
@@ -648,6 +682,7 @@ def chained_device_times(data, backend="pallas", chains=(10, 50)) -> tuple[int, 
 def default_algorithms() -> dict[str, Algorithm]:
     algos = [
         MemcpyAlgorithm(),
+        MemcpyMtAlgorithm(),
         ZlibAlgorithm(),
         LzmaAlgorithm(),
         Bz2Algorithm(),
