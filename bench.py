@@ -34,6 +34,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the codec's Mosaic kernels cost minutes to
+    # compile fresh (G_DEC=32 fp32 decode ~400 s); cache them so repeat
+    # bench runs start in seconds.  utils.enable_compilation_cache never
+    # clobbers a cache the embedding application already configured.
+    from ndzip_tpu import utils as _utils
+
+    _utils.enable_compilation_cache()
+
     from ndzip_tpu import codec_pallas, codec_xla, format as fmt, golden
 
     shape = (2**24,)
