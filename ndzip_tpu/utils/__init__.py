@@ -65,9 +65,12 @@ def trace(label: str):
 def device_time_ns(fn, *args) -> int:
     """Wall duration of fn(*args) fenced by block_until_ready on inputs and
     outputs — device time plus one dispatch, the per-call analog of the
-    offloader's kernel_duration out-param (ndzip.hh:271)."""
+    offloader's kernel_duration out-param (ndzip.hh:271).  One un-timed
+    warm-up call first, so a fresh shape's jit trace + compile (minutes
+    for the Mosaic kernels) never lands in the reported duration."""
     import jax
 
+    jax.block_until_ready(fn(*args))
     jax.block_until_ready(args)
     t0 = time.perf_counter_ns()
     out = fn(*args)

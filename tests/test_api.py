@@ -125,14 +125,36 @@ def test_device_api_rejects_bad_dtype():
 
 def test_offloader_device_timing_mode():
     """timing_mode='device' stages input first and fences the jitted codec
-    (offload.hh:16-24 kernel_duration semantics)."""
+    OF THE SELECTED BACKEND (offload.hh:16-24 kernel_duration semantics) —
+    the xla leg must never dispatch the Pallas codec."""
+    from ndzip_tpu import golden
+
     data = np.sin(np.arange(4096 * 2 + 3, dtype=np.float32))
+    g, gl = golden.compress(data)
     off = api.Offloader(np.float32, 1, backend="xla", timing_mode="device")
     stream, words = off.compress(data)
     assert off.timing.compress_ns > 0
+    assert words == gl and stream.tobytes() == g.tobytes()
     out = off.decompress(stream, data.shape)
     assert off.timing.decompress_ns > 0
     assert np.array_equal(out, data)
+
+    # pallas leg (interpret mode on CPU): same semantics, same stream
+    from ndzip_tpu import codec_pallas
+
+    prev_interpret = codec_pallas.INTERPRET
+    codec_pallas.INTERPRET = True
+    try:
+        offp = api.Offloader(np.float32, 1, backend="pallas",
+                             timing_mode="device")
+        stream_p, words_p = offp.compress(data)
+        assert offp.timing.compress_ns > 0
+        assert words_p == gl and stream_p.tobytes() == g.tobytes()
+        out_p = offp.decompress(stream_p, data.shape)
+        assert offp.timing.decompress_ns > 0
+        assert np.array_equal(out_p, data)
+    finally:
+        codec_pallas.INTERPRET = prev_interpret
 
     # host backends silently fall back to wall timing
     off_host = api.Offloader(np.float32, 1, backend="golden", timing_mode="device")
