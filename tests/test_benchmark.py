@@ -3,6 +3,8 @@ format, plot-tool round-trip (reference: src/benchmark/benchmark.cc and
 plot_benchmark.py)."""
 
 import io
+import os
+
 import numpy as np
 import pytest
 
@@ -88,6 +90,42 @@ def test_plot_tool_reads_harness_output(registry, tmp_path):
     buf = io.StringIO()
     pb.print_table(table, out=buf)
     assert "ndzip-golden" in buf.getvalue()
+
+
+def test_reference_plot_script_parses_harness_csv(registry, tmp_path):
+    """Cross-ecosystem interop: the REFERENCE's own plot_benchmark.py
+    (run as a subprocess from /root/reference, headless) parses this
+    harness's CSV and prints its throughput/ratio tables — the
+    cross-parseability VERDICT asked for (benchmark.cc:1335 comma-joined
+    rep lists inside ;-separated columns)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    ref = pathlib.Path("/root/reference/src/benchmark/plot_benchmark.py")
+    if not ref.exists():
+        pytest.skip("reference checkout not mounted")
+    pytest.importorskip("scipy")
+    pytest.importorskip("tabulate")
+    pytest.importorskip("matplotlib")
+
+    sets = bm.read_dataset_registry(registry)
+    algos = {k: v for k, v in bm.default_algorithms().items()
+             if k in ("memcpy", "ndzip-golden")}
+    csv_path = tmp_path / "results.csv"
+    with open(csv_path, "w") as out:
+        out.write(bm.CSV_HEADER + "\n")
+        for ds in sets:
+            bm.benchmark_file(ds, algos, [1], min_time=0.0, min_reps=2,
+                              max_reps=3, out=out)
+    env = dict(os.environ, MPLBACKEND="Agg")
+    res = subprocess.run([sys.executable, str(ref), str(csv_path)],
+                         capture_output=True, text=True, env=env,
+                         timeout=300)
+    assert res.returncode == 0, res.stderr
+    assert "ndzip-golden" in res.stdout and "memcpy" in res.stdout
+    # both data types' tables appear (float from a.f32, double from b.f64)
+    assert "(float)" in res.stdout and "(double)" in res.stdout
 
 
 def test_fpc_competitor_roundtrip(registry):
