@@ -388,6 +388,40 @@ class PfpcAlgorithm(Algorithm):
                            decomp_times, data.nbytes, len(comp))
 
 
+class SpdpAlgorithm(Algorithm):
+    """SPDP synthesized byte-pipeline compressor (native C++
+    reimplementation, native/competitors.cc; reference: benchmark.cc
+    "spdp", tunable sweep 1..9 with default 5).  Dimensionality- and
+    dtype-agnostic: runs on the raw array bytes for fp32 and fp64
+    alike, exactly like the author code."""
+
+    name = "spdp"
+    tunables = (1, 9)
+
+    def available(self, dataset):
+        from . import competitors
+
+        return competitors.fpc_available()  # same shared library
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        from . import competitors
+
+        buf = data.tobytes()
+        comp = competitors.spdp_compress(buf, tunable)
+        out = competitors.spdp_decompress(comp, len(buf), tunable)
+        assert out.tobytes() == buf, "spdp: round-trip failed"
+        cbuf = np.frombuffer(comp, np.uint8)
+        dst = np.empty(len(buf), np.uint8)
+        comp_times = _rep_loop(
+            lambda: competitors.spdp_compress(buf, tunable),
+            min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(
+            lambda: competitors.spdp_decompress(cbuf, len(buf), tunable, dst),
+            min_time, min_reps, max_reps, True)
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, data.nbytes, len(comp))
+
+
 class FpzipAlgorithm(Algorithm):
     """fpzip via the pip package, when installed (not in this image —
     available() probes and skips; reference: benchmark.cc "fpzip")."""
@@ -692,6 +726,7 @@ def default_algorithms() -> dict[str, Algorithm]:
         ZstdAlgorithm(),
         FpcAlgorithm(),
         PfpcAlgorithm(),
+        SpdpAlgorithm(),
         FpzipAlgorithm(),
         ZfpAlgorithm(),
         Blosc2Algorithm(),

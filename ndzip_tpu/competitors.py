@@ -13,6 +13,10 @@ no pip installs, so the in-repo competitor set is:
 * ``pfpc`` — chunk-parallel FPC over std::thread (same core, independent
   predictor state per chunk), following the pFPC design the reference
   vendors (benchmark.cc "pfpc"),
+* ``spdp`` — a native reimplementation of the SPDP byte-pipeline
+  compressor (works on fp32 and fp64 alike; benchmark.cc "spdp");
+  validated to produce payload sizes identical to the author code on
+  every tested input (tests/test_benchmark.py),
 * optional pip wrappers (fpzip / zfp / blosc2) that activate automatically
   if the packages are ever installed — ``available()`` probes the import
   and skips gracefully otherwise (none are present in this image; see
@@ -78,6 +82,15 @@ def _load():
             ctypes.c_int, ctypes.c_int]
         lib.pfpc_decompress.restype = ctypes.c_size_t
         lib.pfpc_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int]
+        lib.spdp_bound.restype = ctypes.c_size_t
+        lib.spdp_bound.argtypes = [ctypes.c_size_t]
+        lib.spdp_compress.restype = ctypes.c_size_t
+        lib.spdp_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int]
+        lib.spdp_decompress.restype = ctypes.c_size_t
+        lib.spdp_decompress.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_size_t, ctypes.c_int]
         _lib = lib
@@ -163,4 +176,35 @@ def pfpc_decompress(comp, n: int, level: int = 16,
         out.ctypes.data_as(ctypes.c_void_p), n, level)
     if got != n:
         raise RuntimeError("pfpc_decompress failed")
+    return out
+
+
+def spdp_compress(buf: bytes, level: int = 5) -> bytes:
+    """SPDP over a raw byte stream (dtype-agnostic, like the author code)."""
+    lib = _load()
+    src = np.frombuffer(buf, np.uint8)
+    n = src.size
+    out = np.empty(lib.spdp_bound(n), np.uint8)
+    written = lib.spdp_compress(
+        src.ctypes.data_as(ctypes.c_void_p), n,
+        out.ctypes.data_as(ctypes.c_void_p), level)
+    if written == ctypes.c_size_t(-1).value:
+        raise RuntimeError("spdp_compress failed")
+    return out[:written].tobytes()
+
+
+def spdp_decompress(comp, n: int, level: int = 5,
+                    out: np.ndarray | None = None) -> np.ndarray:
+    lib = _load()
+    if isinstance(comp, np.ndarray):
+        buf, clen = comp, comp.size
+    else:
+        buf, clen = np.frombuffer(comp, np.uint8), len(comp)
+    if out is None:
+        out = np.empty(n, np.uint8)
+    got = lib.spdp_decompress(
+        buf.ctypes.data_as(ctypes.c_void_p), clen,
+        out.ctypes.data_as(ctypes.c_void_p), n, level)
+    if got != n:
+        raise RuntimeError("spdp_decompress failed")
     return out
