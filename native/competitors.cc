@@ -242,6 +242,143 @@ size_t pfpc_decompress(const uint8_t *in, size_t comp_len, double *out,
 
 }  // extern "C"
 
+// --- LZ4 block format -------------------------------------------------------
+//
+// The reference benchmarks LZ4 both directly and through nvCOMP
+// (benchmark.cc "lz4" / "nvcomp:lz4"); no LZ4 library exists in this
+// image, so this is an independent implementation of the public LZ4
+// block format (token | literal-run | offset | match-run sequences,
+// min-match 4, 64 KiB window, last-5-literals rule) with a greedy
+// 4-byte-hash matcher — the classic fast-level strategy:
+//   lz4_bound(n)                      -> worst-case compressed bytes
+//   lz4_compress(in, n, out)          -> compressed bytes written
+//   lz4_decompress(in, clen, out, n)  -> bytes decoded (n on success)
+
+namespace {
+
+inline uint32_t lz4_hash4(uint32_t v) {
+    return (v * 2654435761u) >> 19;  // 13-bit table
+}
+
+}  // namespace
+
+extern "C" {
+
+size_t lz4_bound(size_t n) {
+    return n + n / 255 + 32;
+}
+
+size_t lz4_compress(const uint8_t *in, size_t n, uint8_t *out) {
+    size_t op = 0, anchor = 0;
+    std::vector<uint32_t> table(size_t(1) << 13, 0);  // stores pos + 1
+    // Matches must start before n-12 and may extend to n-5 (spec's
+    // end-of-block rules); everything past the last match is literals.
+    size_t match_start_limit = n >= 12 ? n - 12 : 0;
+    size_t match_end_limit = n >= 5 ? n - 5 : 0;
+    size_t ip = 0;
+    while (ip < match_start_limit) {
+        uint32_t seq;
+        std::memcpy(&seq, in + ip, 4);
+        uint32_t h = lz4_hash4(seq);
+        size_t cand = table[h];
+        table[h] = uint32_t(ip + 1);
+        uint32_t cv = 0;
+        if (cand && ip + 1 - cand <= 65535 &&
+            (std::memcpy(&cv, in + cand - 1, 4), cv == seq)) {
+            size_t mpos = cand - 1;
+            size_t mlen = 4;
+            while (ip + mlen < match_end_limit &&
+                   in[mpos + mlen] == in[ip + mlen])
+                mlen++;
+            size_t lit = ip - anchor;
+            uint8_t *token = out + op++;
+            if (lit >= 15) {
+                *token = 15 << 4;
+                size_t rest = lit - 15;
+                while (rest >= 255) { out[op++] = 255; rest -= 255; }
+                out[op++] = uint8_t(rest);
+            } else {
+                *token = uint8_t(lit << 4);
+            }
+            std::memcpy(out + op, in + anchor, lit);
+            op += lit;
+            uint16_t off = uint16_t(ip - mpos);
+            std::memcpy(out + op, &off, 2);
+            op += 2;
+            size_t mex = mlen - 4;
+            if (mex >= 15) {
+                *token |= 15;
+                size_t rest = mex - 15;
+                while (rest >= 255) { out[op++] = 255; rest -= 255; }
+                out[op++] = uint8_t(rest);
+            } else {
+                *token |= uint8_t(mex);
+            }
+            ip += mlen;
+            anchor = ip;
+        } else {
+            ip++;
+        }
+    }
+    // terminal literal run
+    size_t lit = n - anchor;
+    uint8_t *token = out + op++;
+    if (lit >= 15) {
+        *token = 15 << 4;
+        size_t rest = lit - 15;
+        while (rest >= 255) { out[op++] = 255; rest -= 255; }
+        out[op++] = uint8_t(rest);
+    } else {
+        *token = uint8_t(lit << 4);
+    }
+    std::memcpy(out + op, in + anchor, lit);
+    op += lit;
+    return op;
+}
+
+size_t lz4_decompress(const uint8_t *in, size_t clen, uint8_t *out,
+                      size_t n) {
+    size_t ip = 0, op = 0;
+    while (ip < clen) {
+        uint8_t token = in[ip++];
+        size_t lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (ip >= clen) return (size_t)-1;
+                b = in[ip++];
+                lit += b;
+            } while (b == 255);
+        }
+        if (ip + lit > clen || op + lit > n) return (size_t)-1;
+        std::memcpy(out + op, in + ip, lit);
+        ip += lit;
+        op += lit;
+        if (ip >= clen) break;  // terminal sequence carries no match
+        if (ip + 2 > clen) return (size_t)-1;
+        uint16_t off;
+        std::memcpy(&off, in + ip, 2);
+        ip += 2;
+        if (off == 0 || off > op) return (size_t)-1;
+        size_t mlen = (token & 15) + 4;
+        if ((token & 15) == 15) {
+            uint8_t b;
+            do {
+                if (ip >= clen) return (size_t)-1;
+                b = in[ip++];
+                mlen += b;
+            } while (b == 255);
+        }
+        if (op + mlen > n) return (size_t)-1;
+        // byte-wise copy: offsets < mlen self-overlap by design
+        for (size_t i = 0; i < mlen; i++) out[op + i] = out[op - off + i];
+        op += mlen;
+    }
+    return op;
+}
+
+}  // extern "C"
+
 // --- SPDP: synthesized byte-pipeline compressor ----------------------------
 //
 // Stream layout: u32 comp_bytes[nchunks] | concatenated per-chunk payloads,

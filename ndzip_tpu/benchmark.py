@@ -388,6 +388,38 @@ class PfpcAlgorithm(Algorithm):
                            decomp_times, data.nbytes, len(comp))
 
 
+class Lz4Algorithm(Algorithm):
+    """LZ4 block format (own native implementation, native/competitors.cc;
+    reference: benchmark.cc "lz4" and "nvcomp:lz4" — no LZ4 library exists
+    in this image)."""
+
+    name = "lz4"
+    tunables = (1,)
+
+    def available(self, dataset):
+        from . import competitors
+
+        return competitors.fpc_available()  # same shared library
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        from . import competitors
+
+        buf = data.tobytes()
+        comp = competitors.lz4_compress(buf)
+        out = competitors.lz4_decompress(comp, len(buf))
+        assert out.tobytes() == buf, "lz4: round-trip failed"
+        cbuf = np.frombuffer(comp, np.uint8)
+        dst = np.empty(len(buf), np.uint8)
+        comp_times = _rep_loop(
+            lambda: competitors.lz4_compress(buf),
+            min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(
+            lambda: competitors.lz4_decompress(cbuf, len(buf), dst),
+            min_time, min_reps, max_reps, True)
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, data.nbytes, len(comp))
+
+
 class SpdpAlgorithm(Algorithm):
     """SPDP synthesized byte-pipeline compressor (native C++
     reimplementation, native/competitors.cc; reference: benchmark.cc
@@ -727,6 +759,7 @@ def default_algorithms() -> dict[str, Algorithm]:
         FpcAlgorithm(),
         PfpcAlgorithm(),
         SpdpAlgorithm(),
+        Lz4Algorithm(),
         FpzipAlgorithm(),
         ZfpAlgorithm(),
         Blosc2Algorithm(),

@@ -93,6 +93,15 @@ def _load():
         lib.spdp_decompress.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_size_t, ctypes.c_int]
+        lib.lz4_bound.restype = ctypes.c_size_t
+        lib.lz4_bound.argtypes = [ctypes.c_size_t]
+        lib.lz4_compress.restype = ctypes.c_size_t
+        lib.lz4_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
+        lib.lz4_decompress.restype = ctypes.c_size_t
+        lib.lz4_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t]
         _lib = lib
         return lib
 
@@ -176,6 +185,35 @@ def pfpc_decompress(comp, n: int, level: int = 16,
         out.ctypes.data_as(ctypes.c_void_p), n, level)
     if got != n:
         raise RuntimeError("pfpc_decompress failed")
+    return out
+
+
+def lz4_compress(buf: bytes) -> bytes:
+    """LZ4 block format, greedy fast level (own implementation,
+    native/competitors.cc; reference: benchmark.cc "lz4")."""
+    lib = _load()
+    src = np.frombuffer(buf, np.uint8)
+    n = src.size
+    out = np.empty(lib.lz4_bound(n), np.uint8)
+    written = lib.lz4_compress(
+        src.ctypes.data_as(ctypes.c_void_p), n,
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out[:written].tobytes()
+
+
+def lz4_decompress(comp, n: int, out: np.ndarray | None = None) -> np.ndarray:
+    lib = _load()
+    if isinstance(comp, np.ndarray):
+        buf, clen = comp, comp.size
+    else:
+        buf, clen = np.frombuffer(comp, np.uint8), len(comp)
+    if out is None:
+        out = np.empty(n, np.uint8)
+    got = lib.lz4_decompress(
+        buf.ctypes.data_as(ctypes.c_void_p), clen,
+        out.ctypes.data_as(ctypes.c_void_p), n)
+    if got != n:
+        raise RuntimeError("lz4_decompress failed")
     return out
 
 

@@ -213,6 +213,37 @@ def test_spdp_competitor_roundtrip(registry):
     assert r.compressed_bytes > 0 and r.comp_times and r.decomp_times
 
 
+def test_lz4_competitor_roundtrip(registry):
+    """The native LZ4 block-format implementation round-trips arbitrary
+    byte streams (long runs exercise self-overlapping match copies and
+    run-length extension bytes) and registers for both data types."""
+    from ndzip_tpu import competitors
+
+    if not competitors.fpc_available():
+        pytest.skip("no C++ toolchain for the competitor build")
+    rng = np.random.default_rng(9)
+    cases = [
+        b"", b"a", b"x" * 12, b"x" * 100_000, b"ab" * 70_000,
+        bytes(range(256)) * 50, rng.integers(0, 256, 1 << 18, np.uint8).tobytes(),
+        np.sin(np.arange(1 << 16, dtype=np.float32) * 1e-3).tobytes(),
+        b"z" * (15 + 255 * 3 + 7),
+    ]
+    for buf in cases:
+        comp = competitors.lz4_compress(buf)
+        out = competitors.lz4_decompress(comp, len(buf))
+        assert out.tobytes() == buf
+    # corrupted stream fails cleanly, not UB: truncate mid-sequence
+    comp = competitors.lz4_compress(b"x" * 1000)
+    with pytest.raises(RuntimeError):
+        competitors.lz4_decompress(comp[: len(comp) - 1], 1000)
+
+    algo = bm.Lz4Algorithm()
+    sets = bm.read_dataset_registry(registry)
+    assert algo.available(sets[0]) and algo.available(sets[1])
+    r = algo.run(sets[0].load(), 1, 1, min_time=0.0, min_reps=1, max_reps=2)
+    assert r.compressed_bytes > 0 and r.comp_times and r.decomp_times
+
+
 def test_spdp_payload_matches_author_code(tmp_path):
     """The reimplementation must be the *same algorithm*, not merely a
     round-tripping one: per-chunk payload sizes are compared against the
