@@ -6,7 +6,13 @@
 // Design notes (deliberately different from the reference implementation):
 //  * The 32x32 / 64x64 bit transpose is the portable butterfly network
 //    (5/6 mask-shift rounds) instead of AVX2 movemask sequences; gcc
-//    auto-vectorizes the rounds.
+//    auto-vectorizes the rounds.  On AVX-512 hosts the chunk codec instead
+//    uses mask-register primitives the reference (AVX2-only) cannot: the
+//    transpose reads one output row per vptestmd/vptestmq over
+//    lane-reversed vectors, zero-word compaction is a single
+//    vpcompressd/vpcompressq per half-chunk, and decode re-inflates with
+//    vpexpandd/vpexpandq — measured ~3x faster than the reference's
+//    AVX2 serial codec on the same machine (see docs/benchmarking.md).
 //  * The multi-threaded compressor is a chunked two-pass design: batches of
 //    blocks are compressed in parallel into fixed-stride scratch, then the
 //    batch is written at the (sequentially known) stream offset — instead of
@@ -20,6 +26,11 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#define NDZIP_CPU_AVX512 1
+#endif
 
 namespace {
 
@@ -45,21 +56,110 @@ template <typename B> inline void prefix_line(B* x, uint32_t n, uint32_t s) {
     for (uint32_t i = 1; i < n; ++i) x[i * s] = B(x[i * s] + x[(i - 1) * s]);
 }
 
+// whole-row difference/prefix along a leading axis: row r -= row r-1
+// elementwise (descending r keeps reads pristine), row r += row r-1
+// (ascending).  Contiguous rows, so these auto-vectorize — unlike a
+// per-column strided diff_line walk.
+template <typename B> inline void diff_rows(B* x, uint32_t rows, uint32_t row_len) {
+    for (uint32_t r = rows - 1; r >= 1; --r) {
+        B* cur = x + size_t(r) * row_len;
+        const B* prev = cur - row_len;
+        for (uint32_t i = 0; i < row_len; ++i) cur[i] = B(cur[i] - prev[i]);
+    }
+}
+
+template <typename B> inline void prefix_rows(B* x, uint32_t rows, uint32_t row_len) {
+    for (uint32_t r = 1; r < rows; ++r) {
+        B* cur = x + size_t(r) * row_len;
+        const B* prev = cur - row_len;
+        for (uint32_t i = 0; i < row_len; ++i) cur[i] = B(cur[i] + prev[i]);
+    }
+}
+
+#ifdef NDZIP_CPU_AVX512
+// 1D whole-block difference (descending 16/8-lane tiles keep reads
+// pristine) and prefix sum (in-register log-step scan + carried last
+// lane) for the 4096-long 1D profile lines.
+inline void diff_line1_simd(uint32_t* x, uint32_t n) {
+    for (uint32_t i = n - 16; i >= 16; i -= 16) {
+        __m512i cur = _mm512_loadu_si512(x + i);
+        __m512i prev = _mm512_loadu_si512(x + i - 1);
+        _mm512_storeu_si512(x + i, _mm512_sub_epi32(cur, prev));
+    }
+    for (uint32_t i = 15; i >= 1; --i) x[i] = x[i] - x[i - 1];
+}
+
+inline void diff_line1_simd(uint64_t* x, uint32_t n) {
+    for (uint32_t i = n - 8; i >= 8; i -= 8) {
+        __m512i cur = _mm512_loadu_si512(x + i);
+        __m512i prev = _mm512_loadu_si512(x + i - 1);
+        _mm512_storeu_si512(x + i, _mm512_sub_epi64(cur, prev));
+    }
+    for (uint32_t i = 7; i >= 1; --i) x[i] = x[i] - x[i - 1];
+}
+
+inline void prefix_line1_simd(uint32_t* x, uint32_t n) {
+    const __m512i z = _mm512_setzero_si512();
+    const __m512i last = _mm512_set1_epi32(15);
+    __m512i carry = z;
+    for (uint32_t i = 0; i < n; i += 16) {
+        __m512i v = _mm512_loadu_si512(x + i);
+        v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, z, 16 - 1));
+        v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, z, 16 - 2));
+        v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, z, 16 - 4));
+        v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, z, 16 - 8));
+        v = _mm512_add_epi32(v, carry);
+        _mm512_storeu_si512(x + i, v);
+        carry = _mm512_permutexvar_epi32(last, v);
+    }
+}
+
+inline void prefix_line1_simd(uint64_t* x, uint32_t n) {
+    const __m512i z = _mm512_setzero_si512();
+    const __m512i last = _mm512_set1_epi64(7);
+    __m512i carry = z;
+    for (uint32_t i = 0; i < n; i += 8) {
+        __m512i v = _mm512_loadu_si512(x + i);
+        v = _mm512_add_epi64(v, _mm512_alignr_epi64(v, z, 8 - 1));
+        v = _mm512_add_epi64(v, _mm512_alignr_epi64(v, z, 8 - 2));
+        v = _mm512_add_epi64(v, _mm512_alignr_epi64(v, z, 8 - 4));
+        v = _mm512_add_epi64(v, carry);
+        _mm512_storeu_si512(x + i, v);
+        carry = _mm512_permutexvar_epi64(last, v);
+    }
+}
+#endif  // NDZIP_CPU_AVX512
+
+template <typename B> inline void diff_line1(B* x, uint32_t n) {
+#ifdef NDZIP_CPU_AVX512
+    diff_line1_simd(x, n);
+#else
+    diff_line(x, n, 1);
+#endif
+}
+
+template <typename B> inline void prefix_line1(B* x, uint32_t n) {
+#ifdef NDZIP_CPU_AVX512
+    prefix_line1_simd(x, n);
+#else
+    prefix_line(x, n, 1);
+#endif
+}
+
 // forward: rotate-left-1, per-axis forward difference (axis order as
 // common.hh:469-501), complement-negative
 template <typename B> void block_transform(B* x, int dims) {
     const uint32_t n = side_length(dims);
     for (uint32_t i = 0; i < HC_SIZE; ++i) x[i] = rotl1(x[i]);
     if (dims == 1) {
-        diff_line(x, n, 1);
+        diff_line1(x, n);
     } else if (dims == 2) {
         for (uint32_t i = 0; i < n * n; i += n) diff_line(x + i, n, 1);
-        for (uint32_t i = 0; i < n; ++i) diff_line(x + i, n, n);
+        diff_rows(x, n, n);
     } else {
-        for (uint32_t i = 0; i < n * n * n; i += n * n)
-            for (uint32_t j = 0; j < n; ++j) diff_line(x + i + j, n, n);
+        for (uint32_t i = 0; i < n * n * n; i += n * n) diff_rows(x + i, n, n);
         for (uint32_t i = 0; i < n * n * n; i += n) diff_line(x + i, n, 1);
-        for (uint32_t i = 0; i < n * n; ++i) diff_line(x + i, n, n * n);
+        diff_rows(x, n, n * n);
     }
     for (uint32_t i = 0; i < HC_SIZE; ++i) x[i] = complement_negative(x[i]);
 }
@@ -68,15 +168,14 @@ template <typename B> void inverse_block_transform(B* x, int dims) {
     const uint32_t n = side_length(dims);
     for (uint32_t i = 0; i < HC_SIZE; ++i) x[i] = complement_negative(x[i]);
     if (dims == 1) {
-        prefix_line(x, n, 1);
+        prefix_line1(x, n);
     } else if (dims == 2) {
-        for (uint32_t i = 0; i < n; ++i) prefix_line(x + i, n, n);
+        prefix_rows(x, n, n);
         for (uint32_t i = 0; i < n * n; i += n) prefix_line(x + i, n, 1);
     } else {
-        for (uint32_t i = 0; i < n * n; ++i) prefix_line(x + i, n, n * n);
+        prefix_rows(x, n, n * n);
         for (uint32_t i = 0; i < n * n * n; i += n) prefix_line(x + i, n, 1);
-        for (uint32_t i = 0; i < n * n * n; i += n * n)
-            for (uint32_t j = 0; j < n; ++j) prefix_line(x + i + j, n, n);
+        for (uint32_t i = 0; i < n * n * n; i += n * n) prefix_rows(x + i, n, n);
     }
     for (uint32_t i = 0; i < HC_SIZE; ++i) x[i] = rotr1(x[i]);
 }
@@ -101,7 +200,7 @@ template <typename B> inline void transpose_bits(B* a) {
 // ---------------------------------------------------------------- chunk codec
 
 // heads first, compacted nonzero transposed words after (cpu_codec.inl:541-559)
-template <typename B> size_t zero_bit_encode(const B* cube, B* out) {
+template <typename B> size_t zero_bit_encode_portable(const B* cube, B* out) {
     constexpr uint32_t W = bits_of<B>;
     constexpr uint32_t heads_n = HC_SIZE / W;
     size_t body = heads_n;
@@ -121,7 +220,7 @@ template <typename B> size_t zero_bit_encode(const B* cube, B* out) {
     return body;
 }
 
-template <typename B> size_t zero_bit_decode(const B* in, B* cube) {
+template <typename B> size_t zero_bit_decode_portable(const B* in, B* cube) {
     constexpr uint32_t W = bits_of<B>;
     constexpr uint32_t heads_n = HC_SIZE / W;
     size_t body = heads_n;
@@ -139,6 +238,294 @@ template <typename B> size_t zero_bit_decode(const B* in, B* cube) {
         }
     }
     return body;
+}
+
+#ifdef NDZIP_CPU_AVX512
+
+// AVX-512 chunk codec.  The bit transpose extracts one OUTPUT row per
+// vptestmd/vptestmq over lane-reversed input vectors (reversal puts input
+// word j's mask bit at output bit position bits-1-j, the stream's MSB-first
+// order), compaction is one vpcompressd/q per vector, and decode
+// re-inflates with vpexpandd/q under a bit-reversed head mask.  Bit- and
+// stream-identical to the portable butterfly path.
+
+constexpr uint8_t bitrev8_const(uint8_t b) {
+    b = uint8_t(((b & 0xF0u) >> 4) | ((b & 0x0Fu) << 4));
+    b = uint8_t(((b & 0xCCu) >> 2) | ((b & 0x33u) << 2));
+    return uint8_t(((b & 0xAAu) >> 1) | ((b & 0x55u) << 1));
+}
+
+inline uint32_t bitrev32(uint32_t v) {
+    return uint32_t(bitrev8_const(uint8_t(v))) << 24 |
+           uint32_t(bitrev8_const(uint8_t(v >> 8))) << 16 |
+           uint32_t(bitrev8_const(uint8_t(v >> 16))) << 8 |
+           uint32_t(bitrev8_const(uint8_t(v >> 24)));
+}
+
+inline uint64_t bitrev64(uint64_t v) {
+    return uint64_t(bitrev32(uint32_t(v))) << 32 | bitrev32(uint32_t(v >> 32));
+}
+
+// 32x32 transpose of (lo = words 0..15, hi = words 16..31) into t[32].
+// With VBMI+BW: two vpermt2b byte-plane gathers (lane l = byte p of word
+// 31-l, MSB-first output order), then vpmovb2m reads two output rows per
+// instruction while vpaddb walks the bit position.  Fallback: one
+// vptestmd per output half-row over lane-reversed dword vectors.
+inline void transpose32_avx512(__m512i lo, __m512i hi, uint32_t* t) {
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+    static const __m512i idx32 = [] {
+        alignas(64) uint8_t idx[64];
+        for (int l = 0; l < 32; ++l) idx[l] = uint8_t((31 - l) * 4 + 3);
+        for (int l = 0; l < 32; ++l) idx[32 + l] = uint8_t((31 - l) * 4 + 2);
+        return _mm512_load_si512(idx);
+    }();
+    static const __m512i idx10 = [] {
+        alignas(64) uint8_t idx[64];
+        for (int l = 0; l < 32; ++l) idx[l] = uint8_t((31 - l) * 4 + 1);
+        for (int l = 0; l < 32; ++l) idx[32 + l] = uint8_t((31 - l) * 4 + 0);
+        return _mm512_load_si512(idx);
+    }();
+    __m512i z32 = _mm512_permutex2var_epi8(lo, idx32, hi);
+    __m512i z10 = _mm512_permutex2var_epi8(lo, idx10, hi);
+    for (int k = 0; k < 8; ++k) {
+        uint64_t m32 = uint64_t(_mm512_movepi8_mask(z32));
+        uint64_t m10 = uint64_t(_mm512_movepi8_mask(z10));
+        t[k] = uint32_t(m32);
+        t[8 + k] = uint32_t(m32 >> 32);
+        t[16 + k] = uint32_t(m10);
+        t[24 + k] = uint32_t(m10 >> 32);
+        z32 = _mm512_add_epi8(z32, z32);
+        z10 = _mm512_add_epi8(z10, z10);
+    }
+#else
+    const __m512i rev =
+            _mm512_setr_epi32(15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+    __m512i vA = _mm512_permutexvar_epi32(rev, hi);  // words 31..16
+    __m512i vB = _mm512_permutexvar_epi32(rev, lo);  // words 15..0
+    for (int k = 0; k < 32; ++k) {
+        __m512i bit = _mm512_set1_epi32(int(1u << (31 - k)));
+        uint32_t mA = _mm512_test_epi32_mask(vA, bit);
+        uint32_t mB = _mm512_test_epi32_mask(vB, bit);
+        t[k] = mA | (mB << 16);
+    }
+#endif
+}
+
+inline size_t zero_bit_encode_avx512(const uint32_t* cube, uint32_t* out) {
+    size_t body = 128;
+    for (uint32_t c = 0; c < 128; ++c) {
+        const uint32_t* in = cube + c * 32;
+        __m512i lo = _mm512_loadu_si512(in);
+        __m512i hi = _mm512_loadu_si512(in + 16);
+        uint32_t head = uint32_t(_mm512_reduce_or_epi32(_mm512_or_si512(lo, hi)));
+        out[c] = head;
+        if (head == 0) continue;
+        alignas(64) uint32_t t[32];
+        transpose32_avx512(lo, hi, t);
+        __m512i w0 = _mm512_load_si512(t);
+        __m512i w1 = _mm512_load_si512(t + 16);
+        __mmask16 nz0 = _mm512_test_epi32_mask(w0, w0);
+        __mmask16 nz1 = _mm512_test_epi32_mask(w1, w1);
+        _mm512_mask_compressstoreu_epi32(out + body, nz0, w0);
+        body += unsigned(__builtin_popcount(nz0));
+        _mm512_mask_compressstoreu_epi32(out + body, nz1, w1);
+        body += unsigned(__builtin_popcount(nz1));
+    }
+    return body;
+}
+
+inline size_t zero_bit_decode_avx512(const uint32_t* in, uint32_t* cube) {
+    size_t body = 128;
+    for (uint32_t c = 0; c < 128; ++c) {
+        uint32_t head = in[c];
+        uint32_t* dst = cube + c * 32;
+        if (head == 0) {
+            std::memset(dst, 0, 32 * sizeof(uint32_t));
+            continue;
+        }
+        uint32_t rh = bitrev32(head);  // mask bit l <- head bit 31-l
+        __mmask16 m0 = __mmask16(rh & 0xffffu);
+        __mmask16 m1 = __mmask16(rh >> 16);
+        __m512i w0 = _mm512_maskz_expandloadu_epi32(m0, in + body);
+        body += unsigned(__builtin_popcount(m0));
+        __m512i w1 = _mm512_maskz_expandloadu_epi32(m1, in + body);
+        body += unsigned(__builtin_popcount(m1));
+        alignas(64) uint32_t t[32];
+        transpose32_avx512(w0, w1, t);  // involution: same network back
+        std::memcpy(dst, t, sizeof t);
+    }
+    return body;
+}
+
+// 64x64 transpose of v[8] (v[g] = words 8g..8g+7) into t[64].  With
+// VBMI+BW: a 3-level vpermt2b tree gathers each byte plane of all 64
+// words into one lane-reversed zmm (24 permutes total), then vpmovb2m
+// reads one full output row per instruction while vpaddb walks the bit
+// position.  Fallback: one vptestmq per (row, group) over lane-reversed
+// qword vectors.
+inline void transpose64_avx512(const __m512i* v, uint64_t* t) {
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+    // L1 out byte o: plane p = o/16 (+4 for the high variant), word
+    // w = o%16 within the 16-word pair; L2 merges 16-word pairs into
+    // 32-word halves two planes per zmm; L3 merges halves into one full
+    // 64-word plane with lanes reversed (lane l = word 63-l, giving the
+    // stream's MSB-first row order straight out of vpmovb2m).
+    static const __m512i I1LO = [] {
+        alignas(64) uint8_t x[64];
+        for (int o = 0; o < 64; ++o) {
+            int p = o / 16, w = o % 16;
+            x[o] = uint8_t(w < 8 ? w * 8 + p : 64 + (w - 8) * 8 + p);
+        }
+        return _mm512_load_si512(x);
+    }();
+    static const __m512i I1HI = [] {
+        alignas(64) uint8_t x[64];
+        for (int o = 0; o < 64; ++o) {
+            int p = o / 16 + 4, w = o % 16;
+            x[o] = uint8_t(w < 8 ? w * 8 + p : 64 + (w - 8) * 8 + p);
+        }
+        return _mm512_load_si512(x);
+    }();
+    static const __m512i I2A = [] {
+        alignas(64) uint8_t x[64];
+        for (int o = 0; o < 64; ++o) {
+            int p = o / 32, w = o % 32;
+            x[o] = uint8_t(w < 16 ? p * 16 + w : 64 + p * 16 + (w - 16));
+        }
+        return _mm512_load_si512(x);
+    }();
+    static const __m512i I2B = [] {
+        alignas(64) uint8_t x[64];
+        for (int o = 0; o < 64; ++o) {
+            int p = o / 32 + 2, w = o % 32;
+            x[o] = uint8_t(w < 16 ? p * 16 + w : 64 + p * 16 + (w - 16));
+        }
+        return _mm512_load_si512(x);
+    }();
+    static const __m512i I3[2] = {
+            [] {
+                alignas(64) uint8_t x[64];
+                for (int l = 0; l < 64; ++l) {
+                    int j = 63 - l;
+                    x[l] = uint8_t(j < 32 ? j : 64 + (j - 32));
+                }
+                return _mm512_load_si512(x);
+            }(),
+            [] {
+                alignas(64) uint8_t x[64];
+                for (int l = 0; l < 64; ++l) {
+                    int j = 63 - l;
+                    x[l] = uint8_t(j < 32 ? 32 + j : 64 + 32 + (j - 32));
+                }
+                return _mm512_load_si512(x);
+            }(),
+    };
+    __m512i lo16[4], hi16[4];
+    for (int g = 0; g < 4; ++g) {
+        lo16[g] = _mm512_permutex2var_epi8(v[2 * g], I1LO, v[2 * g + 1]);
+        hi16[g] = _mm512_permutex2var_epi8(v[2 * g], I1HI, v[2 * g + 1]);
+    }
+    __m512i pl01[2], pl23[2], pl45[2], pl67[2];
+    for (int h = 0; h < 2; ++h) {
+        pl01[h] = _mm512_permutex2var_epi8(lo16[2 * h], I2A, lo16[2 * h + 1]);
+        pl23[h] = _mm512_permutex2var_epi8(lo16[2 * h], I2B, lo16[2 * h + 1]);
+        pl45[h] = _mm512_permutex2var_epi8(hi16[2 * h], I2A, hi16[2 * h + 1]);
+        pl67[h] = _mm512_permutex2var_epi8(hi16[2 * h], I2B, hi16[2 * h + 1]);
+    }
+    __m512i P[8];
+    P[0] = _mm512_permutex2var_epi8(pl01[0], I3[0], pl01[1]);
+    P[1] = _mm512_permutex2var_epi8(pl01[0], I3[1], pl01[1]);
+    P[2] = _mm512_permutex2var_epi8(pl23[0], I3[0], pl23[1]);
+    P[3] = _mm512_permutex2var_epi8(pl23[0], I3[1], pl23[1]);
+    P[4] = _mm512_permutex2var_epi8(pl45[0], I3[0], pl45[1]);
+    P[5] = _mm512_permutex2var_epi8(pl45[0], I3[1], pl45[1]);
+    P[6] = _mm512_permutex2var_epi8(pl67[0], I3[0], pl67[1]);
+    P[7] = _mm512_permutex2var_epi8(pl67[0], I3[1], pl67[1]);
+    for (int q = 0; q < 8; ++q) {
+        __m512i z = P[7 - q];  // rows 8q.. use bit 63-8q.. = byte 7-q
+        for (int k = 0; k < 8; ++k) {
+            t[8 * q + k] = uint64_t(_mm512_movepi8_mask(z));
+            z = _mm512_add_epi8(z, z);
+        }
+    }
+#else
+    const __m512i rev = _mm512_setr_epi64(7, 6, 5, 4, 3, 2, 1, 0);
+    __m512i rv[8];  // rv[g] lane l = word 63 - (8g + l)
+    for (int g = 0; g < 8; ++g) rv[g] = _mm512_permutexvar_epi64(rev, v[7 - g]);
+    for (int k = 0; k < 64; ++k) {
+        __m512i bit = _mm512_set1_epi64(int64_t(uint64_t(1) << (63 - k)));
+        uint64_t w = 0;
+        for (int g = 0; g < 8; ++g)
+            w |= uint64_t(_mm512_test_epi64_mask(rv[g], bit)) << (8 * g);
+        t[k] = w;
+    }
+#endif
+}
+
+inline size_t zero_bit_encode_avx512(const uint64_t* cube, uint64_t* out) {
+    size_t body = 64;
+    for (uint32_t c = 0; c < 64; ++c) {
+        const uint64_t* in = cube + c * 64;
+        __m512i v[8];
+        __m512i acc = _mm512_setzero_si512();
+        for (int g = 0; g < 8; ++g) {
+            v[g] = _mm512_loadu_si512(in + 8 * g);
+            acc = _mm512_or_si512(acc, v[g]);
+        }
+        uint64_t head = uint64_t(_mm512_reduce_or_epi64(acc));
+        out[c] = head;
+        if (head == 0) continue;
+        alignas(64) uint64_t t[64];
+        transpose64_avx512(v, t);
+        for (int g = 0; g < 8; ++g) {
+            __m512i w = _mm512_load_si512(t + 8 * g);
+            __mmask8 nz = _mm512_test_epi64_mask(w, w);
+            _mm512_mask_compressstoreu_epi64(out + body, nz, w);
+            body += unsigned(__builtin_popcount(unsigned(nz)));
+        }
+    }
+    return body;
+}
+
+inline size_t zero_bit_decode_avx512(const uint64_t* in, uint64_t* cube) {
+    size_t body = 64;
+    for (uint32_t c = 0; c < 64; ++c) {
+        uint64_t head = in[c];
+        uint64_t* dst = cube + c * 64;
+        if (head == 0) {
+            std::memset(dst, 0, 64 * sizeof(uint64_t));
+            continue;
+        }
+        uint64_t rh = bitrev64(head);
+        __m512i w[8];
+        for (int g = 0; g < 8; ++g) {
+            __mmask8 m = __mmask8(rh >> (8 * g));
+            w[g] = _mm512_maskz_expandloadu_epi64(m, in + body);
+            body += unsigned(__builtin_popcount(unsigned(m)));
+        }
+        alignas(64) uint64_t t[64];
+        transpose64_avx512(w, t);  // involution: same network back
+        std::memcpy(dst, t, sizeof t);
+    }
+    return body;
+}
+
+#endif  // NDZIP_CPU_AVX512
+
+template <typename B> inline size_t zero_bit_encode(const B* cube, B* out) {
+#ifdef NDZIP_CPU_AVX512
+    return zero_bit_encode_avx512(cube, out);
+#else
+    return zero_bit_encode_portable(cube, out);
+#endif
+}
+
+template <typename B> inline size_t zero_bit_decode(const B* in, B* cube) {
+#ifdef NDZIP_CPU_AVX512
+    return zero_bit_decode_avx512(in, cube);
+#else
+    return zero_bit_decode_portable(in, cube);
+#endif
 }
 
 // ---------------------------------------------------------------- geometry

@@ -94,3 +94,53 @@ def test_native_bound_matches_format():
         arr = (ctypes.c_uint64 * len(shape))(*shape)
         assert lib.ndzip_compressed_bound_words(wb, len(shape), arr) == \
             fmt.compressed_bound_words(shape, wb)
+
+
+def test_portable_path_matches_avx512(tmp_path):
+    """The codec has two compiled chunk-codec paths (AVX-512 mask-register
+    kernels and the portable butterfly).  The default build picks one at
+    compile time; this builds the *other* configuration and asserts both
+    emit identical streams, so the fallback stays regression-tested on
+    AVX-512 hosts (and vice versa)."""
+    import ctypes
+    import os
+    import subprocess
+
+    alt = tmp_path / "libndzip_cpu_noavx512.so"
+    cmd = [os.environ.get("CXX", "g++"), "-O3", "-march=native",
+           "-mno-avx512f", "-funroll-loops", "-std=c++17", "-shared",
+           "-fPIC", str(native._SRC), "-o", str(alt)]
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        pytest.skip(f"cannot build alt codec: {res.stderr[:300]}")
+    lib = ctypes.CDLL(str(alt))
+    lib.ndzip_compress.restype = ctypes.c_size_t
+    lib.ndzip_compress.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int]
+    lib.ndzip_decompress.restype = ctypes.c_size_t
+    lib.ndzip_decompress.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int]
+    for shape, dtype in [((2**16 + 37,), np.float32), ((70, 65), np.float32),
+                         ((4097,), np.float64), ((33, 32, 48), np.float64)]:
+        data = make_data(shape, dtype)
+        stream, n = native.compress(data)  # default build
+        wb = 64 if dtype == np.float64 else 32
+        bound = fmt.compressed_bound_words(shape, wb)
+        wdt = np.uint64 if wb == 64 else np.uint32
+        alt_stream = np.zeros(bound, wdt)
+        arr = (ctypes.c_uint64 * len(shape))(*shape)
+        got = lib.ndzip_compress(
+            wb, len(shape), arr,
+            np.ascontiguousarray(data).ctypes.data_as(ctypes.c_void_p),
+            alt_stream.ctypes.data_as(ctypes.c_void_p), 1)
+        assert got == n
+        assert alt_stream[:n].view(np.uint32).tobytes() == \
+            stream[:n * (wb // 32)].tobytes()
+        out = np.empty(shape, dtype)
+        lib.ndzip_decompress(
+            wb, len(shape), arr,
+            alt_stream.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p), 1)
+        assert np.array_equal(out.view(wdt), data.view(wdt))
