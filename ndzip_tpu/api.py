@@ -21,12 +21,15 @@ All emit bit-identical streams.
 
 from __future__ import annotations
 
+import functools
+import os
 import time
 from dataclasses import dataclass
 
 import numpy as np
 
 from . import format as fmt
+from . import utils
 
 
 class CompressorRequirements:
@@ -165,11 +168,41 @@ class _PallasDecompressor(Decompressor):
         return codec_pallas.decompress(np.asarray(stream), tuple(shape), self.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _probe_default_backend() -> str | None:
+    """``jax.default_backend()`` under a deadline.  Backend init blocks
+    forever when an accelerator plugin is configured but unreachable
+    (e.g. a TPU tunnel that is down); ``backend="auto"`` must degrade to
+    the host codecs instead of hanging the CLI/API.  The probe runs in a
+    daemon thread and is abandoned after ``NDZIP_TPU_PROBE_TIMEOUT``
+    seconds (default 60; the result is cached either way).  Returns the
+    backend name, or None if jax is unusable within the deadline."""
+    import threading
+
+    timeout = float(os.environ.get("NDZIP_TPU_PROBE_TIMEOUT", "60"))
+    result: list[str | None] = []
+
+    def run():
+        try:
+            import jax
+
+            result.append(jax.default_backend())
+        except Exception:
+            result.append(None)
+
+    t = threading.Thread(target=run, daemon=True, name="ndzip-backend-probe")
+    t.start()
+    t.join(timeout)
+    if not result:
+        utils.log("backend probe timed out after", timeout,
+                  "s; using host codecs (set NDZIP_TPU_BACKEND to override)")
+        return None
+    return result[0]
+
+
 def _pallas_supported() -> bool:
     try:
-        import jax
-
-        if jax.default_backend() not in ("tpu", "axon"):
+        if _probe_default_backend() not in ("tpu", "axon"):
             return False
         from . import codec_pallas  # noqa: F401
 
@@ -179,16 +212,14 @@ def _pallas_supported() -> bool:
 
 
 def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        backend = os.environ.get("NDZIP_TPU_BACKEND", "auto")
     if backend != "auto":
         return backend
     if _pallas_supported():
         return "pallas"
-    try:
-        import jax  # noqa: F401
-
+    if _probe_default_backend() is not None:
         return "xla"
-    except Exception:
-        pass
     from . import native
 
     return "cpu" if native.available() else "golden"

@@ -173,3 +173,20 @@ def test_offloader_measure_chained():
     off_host = api.Offloader(np.float32, 1, backend="golden")
     with pytest.raises(ValueError, match="jitted backend"):
         off_host.measure(data)
+
+
+def test_backend_env_override_and_probe(monkeypatch):
+    """backend="auto" honors NDZIP_TPU_BACKEND, and an unusable/unreachable
+    jax backend (probe returns None, the down-accelerator case) degrades
+    auto-resolution to the host codecs instead of hanging."""
+    monkeypatch.setenv("NDZIP_TPU_BACKEND", "golden")
+    assert api._resolve_backend("auto") == "golden"
+    monkeypatch.delenv("NDZIP_TPU_BACKEND")
+    # explicit backends bypass both the env var and the probe
+    assert api._resolve_backend("cpu") == "cpu"
+
+    monkeypatch.setattr(api, "_probe_default_backend", lambda: None)
+    assert api._resolve_backend("auto") in ("cpu", "golden")
+    # on this suite's CPU platform the probe resolves and auto -> xla
+    monkeypatch.undo()
+    assert api._resolve_backend("auto") in ("xla", "pallas")
