@@ -49,6 +49,7 @@
 // `level` 0..9 scales the back-end hash table (1 << (level + 9) entries,
 // capped at 2^18), the published tunable.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -375,6 +376,154 @@ size_t lz4_decompress(const uint8_t *in, size_t clen, uint8_t *out,
         op += mlen;
     }
     return op;
+}
+
+}  // extern "C"
+
+// --- MPC: massively parallel compressor (CPU reimplementation) --------------
+//
+// MPC (Yang, Mukka, Hesaaraki & Burtscher, "MPC: A Massively Parallel
+// Compression Algorithm for Scientific Data", CLUSTER 2015) is the
+// LnVs|BIT|LVs|ZE pipeline the reference benchmarks as a CUDA competitor
+// (benchmark.cc "mpc", dimensionality 1): per 1024-value subchunk, a
+// dim-stride value delta, a 32x32 (fp32) / 64x64 (fp64) bit transpose per
+// warp-group, a lag-1 delta over the transposed words, and zero-word
+// elimination into a ballot bitmap plus compacted nonzero words.  This is
+// an independent serial implementation of that pipeline with our own
+// container (u32 header [dim, n_lo, n_hi], input zero-padded to a whole
+// subchunk; the author kernel's inter-block busy-wait offset relay is a
+// GPU scheduling artifact with no bitstream meaning):
+//   mpc_bound32(n) / mpc_bound64(n)           -> worst-case words
+//   mpc_compress32/64(in, n, out, dim)        -> words written
+//   mpc_decompress32/64(in, clen, out, n, dim) -> values decoded
+// `dim` (1..32) is the published tunable; the reference benches dim = 1.
+
+namespace {
+
+constexpr size_t MPC_SUB = 1024;
+
+// bit-matrix transpose, MSB-first orientation (butterfly); MPC's warp
+// transpose is the LSB-first flip, obtained by reversing in and out.
+template <typename B> inline void mpc_butterfly(B* a) {
+    constexpr int W = int(sizeof(B) * 8);
+    B m = B(~B{0}) >> (W / 2);
+    for (int j = W / 2; j; j >>= 1) {
+        for (int k = 0; k < W; k = (k + j + 1) & ~j) {
+            B t = B(a[k] ^ (a[k + j] >> j)) & m;
+            a[k] = B(a[k] ^ t);
+            a[k + j] = B(a[k + j] ^ (t << j));
+        }
+        if (j > 1) m = B(m ^ (m << (j >> 1)));
+    }
+}
+
+template <typename B> inline void mpc_transpose_group(B* a) {
+    constexpr int W = int(sizeof(B) * 8);
+    std::reverse(a, a + W);
+    mpc_butterfly(a);
+    std::reverse(a, a + W);
+}
+
+template <typename B>
+size_t mpc_compress_impl(const B* in, size_t n, uint32_t* out32, int dim) {
+    if (dim < 1 || dim > 32) return (size_t)-1;
+    constexpr int W = int(sizeof(B) * 8);
+    size_t np = (n + MPC_SUB - 1) / MPC_SUB * MPC_SUB;
+    size_t nbm = np / W;  // one B-width bitmap word per W values
+    out32[0] = uint32_t(dim);
+    out32[1] = uint32_t(n & 0xffffffffu);
+    out32[2] = uint32_t(n >> 32);
+    B* bitmaps = reinterpret_cast<B*>(out32 + 4);
+    B* body = bitmaps + nbm;
+    size_t wpos = 0;
+    std::vector<B> w(MPC_SUB);
+    for (size_t base = 0; base < np; base += MPC_SUB) {
+        size_t live = std::min(MPC_SUB, n > base ? n - base : 0);
+        std::memcpy(w.data(), in + base, live * sizeof(B));
+        std::memset(w.data() + live, 0, (MPC_SUB - live) * sizeof(B));
+        for (size_t i = MPC_SUB - 1; i >= size_t(dim); --i)
+            w[i] = B(w[i] - w[i - dim]);
+        for (size_t g = 0; g < MPC_SUB; g += W) mpc_transpose_group(w.data() + g);
+        for (size_t i = MPC_SUB - 1; i >= 1; --i) w[i] = B(w[i] - w[i - 1]);
+        for (size_t g = 0; g < MPC_SUB; g += W) {
+            B bm = 0;
+            for (int l = 0; l < W; ++l)
+                if (w[g + l] != 0) bm |= B{1} << l;
+            bitmaps[(base + g) / W] = bm;
+            for (int l = 0; l < W; ++l)
+                if (w[g + l] != 0) body[wpos++] = w[g + l];
+        }
+    }
+    // words written, in u32 units
+    return 4 + (nbm + wpos) * (sizeof(B) / 4);
+}
+
+template <typename B>
+size_t mpc_decompress_impl(const uint32_t* in32, size_t clen32, B* out,
+                           size_t n, int dim) {
+    if (dim < 1 || dim > 32) return (size_t)-1;
+    constexpr int W = int(sizeof(B) * 8);
+    size_t np = (n + MPC_SUB - 1) / MPC_SUB * MPC_SUB;
+    size_t nbm = np / W;
+    if (clen32 < 4 + nbm * (sizeof(B) / 4)) return (size_t)-1;
+    if (in32[0] != uint32_t(dim)) return (size_t)-1;
+    if ((uint64_t(in32[2]) << 32 | in32[1]) != n) return (size_t)-1;
+    const B* bitmaps = reinterpret_cast<const B*>(in32 + 4);
+    const B* body = bitmaps + nbm;
+    size_t body_max = (clen32 - 4) / (sizeof(B) / 4) - nbm;
+    size_t rpos = 0;
+    std::vector<B> w(MPC_SUB);
+    for (size_t base = 0; base < np; base += MPC_SUB) {
+        for (size_t g = 0; g < MPC_SUB; g += W) {
+            B bm = bitmaps[(base + g) / W];
+            for (int l = 0; l < W; ++l) {
+                if ((bm >> l) & B{1}) {
+                    if (rpos >= body_max) return (size_t)-1;
+                    w[g + l] = body[rpos++];
+                } else {
+                    w[g + l] = 0;
+                }
+            }
+        }
+        for (size_t i = 1; i < MPC_SUB; ++i) w[i] = B(w[i] + w[i - 1]);
+        for (size_t g = 0; g < MPC_SUB; g += W) mpc_transpose_group(w.data() + g);
+        for (size_t i = dim; i < MPC_SUB; ++i) w[i] = B(w[i] + w[i - dim]);
+        size_t live = std::min(MPC_SUB, n > base ? n - base : 0);
+        std::memcpy(out + base, w.data(), live * sizeof(B));
+    }
+    return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+size_t mpc_bound32(size_t n) {
+    size_t np = (n + MPC_SUB - 1) / MPC_SUB * MPC_SUB;
+    return 4 + np / 32 + np + 16;
+}
+
+size_t mpc_bound64(size_t n) {
+    size_t np = (n + MPC_SUB - 1) / MPC_SUB * MPC_SUB;
+    return 4 + (np / 64 + np) * 2 + 16;
+}
+
+size_t mpc_compress32(const uint32_t* in, size_t n, uint32_t* out, int dim) {
+    return mpc_compress_impl<uint32_t>(in, n, out, dim);
+}
+
+size_t mpc_decompress32(const uint32_t* in, size_t clen, uint32_t* out,
+                        size_t n, int dim) {
+    return mpc_decompress_impl<uint32_t>(in, clen, out, n, dim);
+}
+
+size_t mpc_compress64(const uint64_t* in, size_t n, uint32_t* out, int dim) {
+    return mpc_compress_impl<uint64_t>(in, n, out, dim);
+}
+
+size_t mpc_decompress64(const uint32_t* in, size_t clen, uint64_t* out,
+                        size_t n, int dim) {
+    return mpc_decompress_impl<uint64_t>(in, clen, out, n, dim);
 }
 
 }  // extern "C"

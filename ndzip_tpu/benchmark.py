@@ -388,6 +388,42 @@ class PfpcAlgorithm(Algorithm):
                            decomp_times, data.nbytes, len(comp))
 
 
+class MpcAlgorithm(Algorithm):
+    """MPC massively-parallel compressor pipeline, serial CPU
+    reimplementation (native/competitors.cc; reference: benchmark.cc
+    "mpc", a CUDA competitor run at dimensionality 1).  Handles fp32 and
+    fp64; tunable = the dim-stride (the reference benches dim=1)."""
+
+    name = "mpc"
+    tunables = (1,)
+
+    def available(self, dataset):
+        from . import competitors
+
+        return competitors.fpc_available()  # same shared library
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        from . import competitors
+
+        flat = np.ascontiguousarray(data).reshape(-1)
+        comp = competitors.mpc_compress(flat, tunable)
+        out = competitors.mpc_decompress(comp, flat.size, flat.dtype, tunable)
+        wdt = np.uint64 if flat.dtype == np.float64 else np.uint32
+        assert np.array_equal(out.view(wdt), flat.view(wdt)), \
+            "mpc: round-trip failed"
+        cbuf = np.frombuffer(comp, np.uint32)
+        dst = np.empty_like(flat)
+        comp_times = _rep_loop(
+            lambda: competitors.mpc_compress(flat, tunable),
+            min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(
+            lambda: competitors.mpc_decompress(cbuf, flat.size, flat.dtype,
+                                               tunable, dst),
+            min_time, min_reps, max_reps, True)
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, data.nbytes, len(comp))
+
+
 class Lz4Algorithm(Algorithm):
     """LZ4 block format (own native implementation, native/competitors.cc;
     reference: benchmark.cc "lz4" and "nvcomp:lz4" — no LZ4 library exists
@@ -760,6 +796,7 @@ def default_algorithms() -> dict[str, Algorithm]:
         PfpcAlgorithm(),
         SpdpAlgorithm(),
         Lz4Algorithm(),
+        MpcAlgorithm(),
         FpzipAlgorithm(),
         ZfpAlgorithm(),
         Blosc2Algorithm(),

@@ -93,6 +93,18 @@ def _load():
         lib.spdp_decompress.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_size_t, ctypes.c_int]
+        for suffix in ("32", "64"):
+            b = getattr(lib, f"mpc_bound{suffix}")
+            b.restype = ctypes.c_size_t
+            b.argtypes = [ctypes.c_size_t]
+            c = getattr(lib, f"mpc_compress{suffix}")
+            c.restype = ctypes.c_size_t
+            c.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+                          ctypes.c_int]
+            d = getattr(lib, f"mpc_decompress{suffix}")
+            d.restype = ctypes.c_size_t
+            d.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+                          ctypes.c_size_t, ctypes.c_int]
         lib.lz4_bound.restype = ctypes.c_size_t
         lib.lz4_bound.argtypes = [ctypes.c_size_t]
         lib.lz4_compress.restype = ctypes.c_size_t
@@ -185,6 +197,40 @@ def pfpc_decompress(comp, n: int, level: int = 16,
         out.ctypes.data_as(ctypes.c_void_p), n, level)
     if got != n:
         raise RuntimeError("pfpc_decompress failed")
+    return out
+
+
+def mpc_compress(data: np.ndarray, dim: int = 1) -> bytes:
+    """MPC pipeline over fp32/fp64 values (native CPU reimplementation of
+    the CUDA competitor, native/competitors.cc; benchmark.cc "mpc")."""
+    lib = _load()
+    data = np.ascontiguousarray(data)
+    suffix = "64" if data.dtype == np.float64 else "32"
+    flat = data.reshape(-1).view(np.uint64 if suffix == "64" else np.uint32)
+    out = np.empty(getattr(lib, f"mpc_bound{suffix}")(flat.size), np.uint32)
+    written = getattr(lib, f"mpc_compress{suffix}")(
+        flat.ctypes.data_as(ctypes.c_void_p), flat.size,
+        out.ctypes.data_as(ctypes.c_void_p), dim)
+    if written == ctypes.c_size_t(-1).value:
+        raise RuntimeError("mpc_compress failed")
+    return out[:written].tobytes()
+
+
+def mpc_decompress(comp, n: int, dtype, dim: int = 1,
+                   out: np.ndarray | None = None) -> np.ndarray:
+    lib = _load()
+    if isinstance(comp, np.ndarray):
+        buf, clen = comp, comp.size
+    else:
+        buf, clen = np.frombuffer(comp, np.uint32), len(comp) // 4
+    suffix = "64" if np.dtype(dtype) == np.float64 else "32"
+    if out is None:
+        out = np.empty(n, dtype)
+    got = getattr(lib, f"mpc_decompress{suffix}")(
+        buf.ctypes.data_as(ctypes.c_void_p), clen,
+        out.ctypes.data_as(ctypes.c_void_p), n, dim)
+    if got != n:
+        raise RuntimeError("mpc_decompress failed")
     return out
 
 

@@ -244,6 +244,36 @@ def test_lz4_competitor_roundtrip(registry):
     assert r.compressed_bytes > 0 and r.comp_times and r.decomp_times
 
 
+def test_mpc_competitor_roundtrip(registry):
+    """The native MPC reimplementation (LnVs|BIT|LVs|ZE pipeline,
+    native/competitors.cc) round-trips bit-exactly for fp32 and fp64 at
+    several dim strides and registers for both data types."""
+    from ndzip_tpu import competitors
+
+    if not competitors.fpc_available():
+        pytest.skip("no C++ toolchain for the competitor build")
+    rng = np.random.default_rng(10)
+    cases = [
+        np.sin(np.arange(100_003, dtype=np.float32) * 1e-3),
+        np.cumsum(rng.standard_normal(65_537)),
+        np.zeros(1024, np.float32), rng.standard_normal(1),
+        np.zeros(0, np.float64),
+    ]
+    for dim in (1, 2, 32):
+        for d in cases:
+            comp = competitors.mpc_compress(d, dim)
+            out = competitors.mpc_decompress(comp, d.size, d.dtype, dim)
+            wdt = np.uint64 if d.dtype == np.float64 else np.uint32
+            assert np.array_equal(out.view(wdt), d.reshape(-1).view(wdt))
+
+    algo = bm.MpcAlgorithm()
+    sets = bm.read_dataset_registry(registry)
+    assert algo.available(sets[0]) and algo.available(sets[1])
+    for ds in sets:
+        r = algo.run(ds.load(), 1, 1, min_time=0.0, min_reps=1, max_reps=2)
+        assert r.compressed_bytes > 0 and r.comp_times and r.decomp_times
+
+
 def test_spdp_payload_matches_author_code(tmp_path):
     """The reimplementation must be the *same algorithm*, not merely a
     round-tripping one: per-chunk payload sizes are compared against the
