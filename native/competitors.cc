@@ -528,6 +528,109 @@ size_t mpc_decompress64(const uint32_t* in, size_t clen, uint64_t* out,
 
 }  // extern "C"
 
+// --- GFC: GPU float compressor for doubles (CPU reimplementation) ----------
+//
+// GFC (O'Neil & Burtscher, "Floating-Point Data Compression at 75 Gb/s on
+// a GPU", GPGPU-4 2011) is a doubles-only CUDA competitor the reference
+// benchmarks as "gfc" (benchmark.cc:1225).  Per 32-value subchunk each
+// value is predicted by the last same-phase (mod dim) value of the
+// previous subchunk; the residual is sign-magnitude coded as a half-byte
+// (sign bit | adjusted significant-byte count, with count 2 folded into 3
+// so the nibble spans 0..7 for up to 8 bytes) followed by the magnitude's
+// significant bytes LSB-first.  Independent serial implementation, own
+// container (u32 header [dim, n_lo, n_hi], input zero-padded to a whole
+// subchunk; the author's chunk cut table is a GPU work-division artifact):
+//   gfc_bound(n)                          -> worst-case bytes
+//   gfc_compress(in, n, out, dim)         -> bytes written
+//   gfc_decompress(in, clen, out, n, dim) -> values decoded
+// `dim` (1..32) is the published dimensionality tunable; default 1.
+
+namespace {
+
+constexpr size_t GFC_SUB = 32;
+
+inline int gfc_byte_count(uint64_t mag) {
+    if (mag == 0) return 0;
+    int b = 8 - (__builtin_clzll(mag) >> 3);
+    return b == 2 ? 3 : b;  // 6 lead-zero bytes fold into the 5-byte code
+}
+
+}  // namespace
+
+extern "C" {
+
+size_t gfc_bound(size_t n) {
+    size_t np = (n + GFC_SUB - 1) / GFC_SUB * GFC_SUB;
+    return 12 + np / 2 + np * 8 + 16;
+}
+
+size_t gfc_compress(const double* in, size_t n, uint8_t* out, int dim) {
+    if (dim < 1 || dim > 32) return (size_t)-1;
+    size_t np = (n + GFC_SUB - 1) / GFC_SUB * GFC_SUB;
+    uint32_t hdr[3] = {uint32_t(dim), uint32_t(n & 0xffffffffu),
+                       uint32_t(n >> 32)};
+    std::memcpy(out, hdr, 12);
+    size_t off = 12;
+    std::vector<uint64_t> w(np, 0);
+    std::memcpy(w.data(), in, n * sizeof(double));
+    for (size_t base = 0; base < np; base += GFC_SUB) {
+        uint8_t* codes = out + off;
+        std::memset(codes, 0, GFC_SUB / 2);
+        size_t dpos = off + GFC_SUB / 2;
+        for (size_t l = 0; l < GFC_SUB; ++l) {
+            uint64_t pred = base == 0 ? 0 : w[base - dim + (l % dim)];
+            uint64_t diff = w[base + l] - pred;
+            int sign = int(diff >> 63);
+            uint64_t mag = sign ? ~diff + 1 : diff;
+            int bc = gfc_byte_count(mag);
+            for (int b = 0; b < bc; ++b) {
+                out[dpos++] = uint8_t(mag);
+                mag >>= 8;
+            }
+            int code = (sign << 3) | (bc >= 3 ? bc - 1 : bc);
+            codes[l >> 1] |= uint8_t(code << ((l & 1) * 4));
+        }
+        off = dpos;
+    }
+    return off;
+}
+
+size_t gfc_decompress(const uint8_t* in, size_t clen, double* out, size_t n,
+                      int dim) {
+    if (dim < 1 || dim > 32) return (size_t)-1;
+    if (clen < 12) return (size_t)-1;
+    uint32_t hdr[3];
+    std::memcpy(hdr, in, 12);
+    if (hdr[0] != uint32_t(dim) ||
+        (uint64_t(hdr[2]) << 32 | hdr[1]) != n)
+        return (size_t)-1;
+    size_t np = (n + GFC_SUB - 1) / GFC_SUB * GFC_SUB;
+    std::vector<uint64_t> w(np, 0);
+    size_t off = 12;
+    for (size_t base = 0; base < np; base += GFC_SUB) {
+        if (off + GFC_SUB / 2 > clen) return (size_t)-1;
+        const uint8_t* codes = in + off;
+        size_t dpos = off + GFC_SUB / 2;
+        for (size_t l = 0; l < GFC_SUB; ++l) {
+            int code = (codes[l >> 1] >> ((l & 1) * 4)) & 0xf;
+            int c = code & 7;
+            int bc = c <= 1 ? c : c + 1;
+            if (dpos + bc > clen) return (size_t)-1;
+            uint64_t mag = 0;
+            for (int b = bc - 1; b >= 0; --b) mag = (mag << 8) | in[dpos + b];
+            dpos += bc;
+            uint64_t diff = (code & 8) ? ~mag + 1 : mag;
+            uint64_t pred = base == 0 ? 0 : w[base - dim + (l % dim)];
+            w[base + l] = pred + diff;
+        }
+        off = dpos;
+    }
+    std::memcpy(out, w.data(), n * sizeof(double));
+    return n;
+}
+
+}  // extern "C"
+
 // --- SPDP: synthesized byte-pipeline compressor ----------------------------
 //
 // Stream layout: u32 comp_bytes[nchunks] | concatenated per-chunk payloads,

@@ -388,6 +388,41 @@ class PfpcAlgorithm(Algorithm):
                            decomp_times, data.nbytes, len(comp))
 
 
+class GfcAlgorithm(Algorithm):
+    """GFC double compressor, serial CPU reimplementation of the CUDA
+    competitor (native/competitors.cc; reference: benchmark.cc "gfc").
+    Double-precision only; tunable = dimensionality (default 1)."""
+
+    name = "gfc"
+    tunables = (1,)
+
+    def available(self, dataset):
+        if np.dtype(dataset.dtype) != np.float64:
+            return False  # GFC is a double-precision algorithm
+        from . import competitors
+
+        return competitors.fpc_available()  # same shared library
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        from . import competitors
+
+        flat = np.ascontiguousarray(data).reshape(-1)
+        comp = competitors.gfc_compress(flat, tunable)
+        out = competitors.gfc_decompress(comp, flat.size, tunable)
+        assert np.array_equal(out.view(np.uint64), flat.view(np.uint64)), \
+            "gfc: round-trip failed"
+        cbuf = np.frombuffer(comp, np.uint8)
+        dst = np.empty_like(flat)
+        comp_times = _rep_loop(
+            lambda: competitors.gfc_compress(flat, tunable),
+            min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(
+            lambda: competitors.gfc_decompress(cbuf, flat.size, tunable, dst),
+            min_time, min_reps, max_reps, True)
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, data.nbytes, len(comp))
+
+
 class MpcAlgorithm(Algorithm):
     """MPC massively-parallel compressor pipeline, serial CPU
     reimplementation (native/competitors.cc; reference: benchmark.cc
@@ -797,6 +832,7 @@ def default_algorithms() -> dict[str, Algorithm]:
         SpdpAlgorithm(),
         Lz4Algorithm(),
         MpcAlgorithm(),
+        GfcAlgorithm(),
         FpzipAlgorithm(),
         ZfpAlgorithm(),
         Blosc2Algorithm(),

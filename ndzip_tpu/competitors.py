@@ -105,6 +105,15 @@ def _load():
             d.restype = ctypes.c_size_t
             d.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
                           ctypes.c_size_t, ctypes.c_int]
+        lib.gfc_bound.restype = ctypes.c_size_t
+        lib.gfc_bound.argtypes = [ctypes.c_size_t]
+        lib.gfc_compress.restype = ctypes.c_size_t
+        lib.gfc_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int]
+        lib.gfc_decompress.restype = ctypes.c_size_t
+        lib.gfc_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int]
         lib.lz4_bound.restype = ctypes.c_size_t
         lib.lz4_bound.argtypes = [ctypes.c_size_t]
         lib.lz4_compress.restype = ctypes.c_size_t
@@ -231,6 +240,37 @@ def mpc_decompress(comp, n: int, dtype, dim: int = 1,
         out.ctypes.data_as(ctypes.c_void_p), n, dim)
     if got != n:
         raise RuntimeError("mpc_decompress failed")
+    return out
+
+
+def gfc_compress(data: np.ndarray, dim: int = 1) -> bytes:
+    """GFC double compressor (native CPU reimplementation of the CUDA
+    competitor, native/competitors.cc; benchmark.cc "gfc")."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.float64).reshape(-1)
+    out = np.empty(lib.gfc_bound(data.size), np.uint8)
+    written = lib.gfc_compress(
+        data.ctypes.data_as(ctypes.c_void_p), data.size,
+        out.ctypes.data_as(ctypes.c_void_p), dim)
+    if written == ctypes.c_size_t(-1).value:
+        raise RuntimeError("gfc_compress failed")
+    return out[:written].tobytes()
+
+
+def gfc_decompress(comp, n: int, dim: int = 1,
+                   out: np.ndarray | None = None) -> np.ndarray:
+    lib = _load()
+    if isinstance(comp, np.ndarray):
+        buf, clen = comp, comp.size
+    else:
+        buf, clen = np.frombuffer(comp, np.uint8), len(comp)
+    if out is None:
+        out = np.empty(n, np.float64)
+    got = lib.gfc_decompress(
+        buf.ctypes.data_as(ctypes.c_void_p), clen,
+        out.ctypes.data_as(ctypes.c_void_p), n, dim)
+    if got != n:
+        raise RuntimeError("gfc_decompress failed")
     return out
 
 

@@ -274,6 +274,37 @@ def test_mpc_competitor_roundtrip(registry):
         assert r.compressed_bytes > 0 and r.comp_times and r.decomp_times
 
 
+def test_gfc_competitor_roundtrip(registry):
+    """The native GFC reimplementation (sign/lead-zero-byte nibble codes,
+    native/competitors.cc) round-trips bit-exactly — including NaN/Inf/
+    denormal payloads — and registers as a double-only algorithm."""
+    from ndzip_tpu import competitors
+
+    if not competitors.fpc_available():
+        pytest.skip("no C++ toolchain for the competitor build")
+    rng = np.random.default_rng(11)
+    cases = [
+        np.cumsum(rng.standard_normal(100_003)),
+        np.zeros(1024), rng.standard_normal(1), np.zeros(0),
+        -np.abs(np.cumsum(rng.standard_normal(5000))),
+        np.array([np.nan, np.inf, -np.inf, -0.0, 5e-324]),
+    ]
+    for dim in (1, 3, 32):
+        for d in cases:
+            comp = competitors.gfc_compress(d, dim)
+            out = competitors.gfc_decompress(comp, d.size, dim)
+            assert np.array_equal(out.view(np.uint64),
+                                  d.reshape(-1).view(np.uint64))
+
+    algo = bm.GfcAlgorithm()
+    sets = bm.read_dataset_registry(registry)
+    f32, f64 = sets
+    assert not algo.available(f32)  # GFC is double-precision only
+    assert algo.available(f64)
+    r = algo.run(f64.load(), 1, 1, min_time=0.0, min_reps=1, max_reps=2)
+    assert r.compressed_bytes > 0 and r.comp_times and r.decomp_times
+
+
 def test_spdp_payload_matches_author_code(tmp_path):
     """The reimplementation must be the *same algorithm*, not merely a
     round-tripping one: per-chunk payload sizes are compared against the
