@@ -49,5 +49,7 @@ d64 = np.cumsum(np.random.default_rng(0).standard_normal(128 * 32 * 16)
                 ).reshape(128, 32, 16)  # grid major axis divisible by 8
 s64, w64 = sharded.compress_sharded(d64, mesh)
 g64, gw64 = ndzip_tpu.compress(d64, backend="golden")
-assert np.asarray(s64)[:w64].tobytes() == g64[:gw64].tobytes()
+# streams are u32 arrays; lengths count u64 stream words -> 2 u32 each
+assert w64 == gw64
+assert np.asarray(s64)[: 2 * w64].tobytes() == g64[: 2 * gw64].tobytes()
 print("fp64 sharded stream ≡ serial stream")

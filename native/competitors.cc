@@ -433,6 +433,7 @@ size_t mpc_compress_impl(const B* in, size_t n, uint32_t* out32, int dim) {
     out32[0] = uint32_t(dim);
     out32[1] = uint32_t(n & 0xffffffffu);
     out32[2] = uint32_t(n >> 32);
+    out32[3] = 0;  // alignment pad: keep the emitted stream deterministic
     B* bitmaps = reinterpret_cast<B*>(out32 + 4);
     B* body = bitmaps + nbm;
     size_t wpos = 0;

@@ -547,7 +547,7 @@ def _g_tiled(shape, dims, largest):
     while G >= 8:
         if _tiled_layout(shape, dims, G) is not None:
             return G
-        G //= 2
+        G -= 8  # stay on the 8-block granularity the tile adapters slice
     return None
 
 
@@ -572,7 +572,7 @@ def _g_tiled_padded(shape, dims, largest, max_pad=0.2):
         gx = -(-gm // G)
         if (gx * G - gm) / gm <= max_pad:
             return G, gx
-        G //= 2
+        G -= 8  # stay on the 8-block granularity the tile adapters slice
     return None
 
 
@@ -1813,17 +1813,19 @@ def compress_device(data) -> tuple:
     ``(lo, hi)`` tuple of uint32 plane arrays for fp64 payloads (TPUs have
     no 64-bit integer lanes; see ops/u64pair for host-side splitting).
 
-    Returns ``(stream, length)``: ``stream`` is the padded u32 stream
-    buffer sized to ``format.compressed_bound_u32`` (feed it to
-    ``decompress_device`` as-is), ``length`` a device int32 scalar of
-    occupied u32 words.  ``stream[:length]`` is byte-identical to every
-    other backend's output."""
+    Returns ``(stream, length)``: ``stream`` is a decode-ready u32 buffer
+    (``format.compressed_bound_u32`` plus the decoder's window slack, so
+    ``decompress_device`` consumes it without any further device copy),
+    ``length`` a device int32 scalar of occupied u32 words.
+    ``stream[:length]`` is byte-identical to every other backend's
+    output."""
     if isinstance(data, tuple):
         lo, hi = data
         fmt.validate_shape(lo.shape)
         if lo.dtype != jnp.uint32 or hi.dtype != jnp.uint32:
             raise ValueError("fp64 device compress takes (lo, hi) uint32 planes")
-        return _encode_fp64_device(lo, hi, lo.shape)
+        stream, length = _encode_fp64_device(lo, hi, lo.shape)
+        return _with_decode_slack(stream, lo.shape, 64), length
     fmt.validate_shape(data.shape)
     if data.dtype == jnp.float32:
         data = jax.lax.bitcast_convert_type(data, jnp.uint32)
@@ -1831,16 +1833,29 @@ def compress_device(data) -> tuple:
         raise ValueError(
             f"device compress supports float32/uint32 arrays or (lo, hi) "
             f"uint32 plane tuples, got {data.dtype}")
-    return _encode_fp32_device(data, data.shape)
+    stream, length = _encode_fp32_device(data, data.shape)
+    return _with_decode_slack(stream, data.shape, 32), length
+
+
+def _with_decode_slack(stream, shape, wb):
+    """Zero-fill the stream buffer out to the decoder's required size
+    (bound + one gather-window row) so the compress->decompress round
+    trip stays on-device with no reallocation at decode time."""
+    need = fmt.compressed_bound_u32(tuple(shape), wb) + \
+        (wb // 32) * WIN_ROWS * LANES
+    if stream.shape[0] < need:
+        stream = _pad_stream_device(stream, need)
+    return stream
 
 
 def decompress_device(stream, shape, dtype=np.float32):
     """Device-resident decompress (cuda.hh:28-41 analog).  ``stream`` is a
-    u32 device array holding the compressed chunk from word 0 (any length
-    >= the occupied words; extra tail words are ignored — pass
-    ``compress_device``'s padded buffer unchanged for zero-copy
-    round-trips).  Returns a ``jax.Array`` of ``shape``: float32/uint32
-    for 32-bit dtypes, a ``(lo, hi)`` uint32 plane tuple for fp64."""
+    u32 device array holding the compressed chunk from word 0.
+    ``compress_device``'s buffer is consumed as-is (no device copy);
+    shorter buffers (e.g. ``stream[:length]``) are zero-padded to the
+    decoder's bound + window slack first, one concatenate.  Returns a
+    ``jax.Array`` of ``shape``: float32/uint32 for 32-bit dtypes, a
+    ``(lo, hi)`` uint32 plane tuple for fp64."""
     shape = tuple(shape)
     fmt.validate_shape(shape)
     wb = fmt.word_bits_for_dtype(np.dtype(dtype))

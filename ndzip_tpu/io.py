@@ -165,7 +165,9 @@ class MmapOutputStream(OutputStream):
         self._capacity = new_capacity
 
     def get_write_buffer(self, max_chunk_size: int) -> memoryview:
-        if self._map is None:
+        # grow whenever the unmapped-or-remaining capacity cannot hold the
+        # request (io.cc:199-211 grows on every call, not only the first)
+        if self._map is None or self._capacity - self._size < max_chunk_size:
             self._truncate(self._size + max_chunk_size)
             self._map = mmap.mmap(self._fd, self._capacity,
                                   access=mmap.ACCESS_WRITE)  # io.cc:233-241

@@ -87,6 +87,14 @@ def test_device_api_roundtrip_fp32():
         assert out.dtype == jnp.float32
         assert np.array_equal(np.asarray(out), data)
 
+        # compress_device's buffer is already decode-ready: it carries the
+        # decoder's window slack, so the round trip involves no device
+        # reallocation (the documented zero-copy contract)
+        from ndzip_tpu import format as fmt
+        need = fmt.compressed_bound_u32(data.shape, 32) + \
+            codec_pallas.WIN_ROWS * codec_pallas.LANES
+        assert stream.shape[0] >= need
+
         # short (exact-length) streams are padded internally
         out2 = api.decompress_device(stream[: int(length)], data.shape)
         assert np.array_equal(np.asarray(out2), data)

@@ -102,6 +102,22 @@ def test_mmap_output_stream_grow_truncate(tmp_path):
     out.close()
     assert path.read_bytes() == b"".join(chunks)
 
+    # repeated get_write_buffer without an intervening commit must honor
+    # max_chunk_size each time (the reference grows on every call,
+    # io.cc:199-211), not hand back the previous request's remainder
+    path3 = tmp_path / "out3.bin"
+    out3 = ndz_io.MmapOutputStream(str(path3))
+    small = out3.get_write_buffer(100)
+    assert len(small) >= 100
+    small.release()
+    big = out3.get_write_buffer(5000)
+    assert len(big) >= 5000
+    big[:5000] = b"x" * 5000
+    big.release()
+    out3.commit_chunk(5000)
+    out3.close()
+    assert path3.read_bytes() == b"x" * 5000
+
     # write_chunk convenience wrapper drives the same grow/commit protocol
     path2 = tmp_path / "out2.bin"
     out2 = ndz_io.MmapOutputStream(str(path2))
