@@ -497,12 +497,17 @@ inline size_t zero_bit_decode_avx512(const uint64_t* in, uint64_t* cube) {
             continue;
         }
         uint64_t rh = bitrev64(head);
-        __m512i w[8];
+        // per-group source offsets up front: the eight expand-loads then
+        // issue independently instead of chaining through `body`
+        size_t goff[8];
         for (int g = 0; g < 8; ++g) {
-            __mmask8 m = __mmask8(rh >> (8 * g));
-            w[g] = _mm512_maskz_expandloadu_epi64(m, in + body);
-            body += unsigned(__builtin_popcount(unsigned(m)));
+            goff[g] = body;
+            body += unsigned(__builtin_popcount(unsigned(rh >> (8 * g) & 0xff)));
         }
+        __m512i w[8];
+        for (int g = 0; g < 8; ++g)
+            w[g] = _mm512_maskz_expandloadu_epi64(__mmask8(rh >> (8 * g)),
+                                                  in + goff[g]);
         alignas(64) uint64_t t[64];
         transpose64_avx512(w, t);  // involution: same network back
         std::memcpy(dst, t, sizeof t);
