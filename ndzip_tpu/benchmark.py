@@ -86,22 +86,56 @@ def read_dataset_registry(csv_path: Path) -> list[Dataset]:
 
 
 def make_synthetic(tmpdir: Path) -> list[Dataset]:
-    """Generate the BASELINE.json benchmark configs as raw dumps."""
-    rng = np.random.default_rng(0)
+    """Generate the BASELINE.json benchmark configs as raw dumps.  Each
+    family mimics a reference-suite data class: a smooth 1D signal, a
+    CESM-like 2D field smooth along BOTH axes, a 3D scalar field, an fp64
+    random walk (the FPC/GFC home turf), and a mostly-zero 3D field
+    (exercises zero-word elimination).  Each dataset draws from its own
+    seeded rng so content is deterministic regardless of which files
+    already exist on disk."""
+
+    def smooth1d(shape, dt, rng):
+        t = np.arange(shape[0], dtype=np.float64) * 1e-4
+        return (np.sin(t) + 0.001 * rng.standard_normal(shape[0])).astype(dt)
+
+    def field2d(shape, dt, rng):
+        y = np.linspace(0, 11.0, shape[0])[:, None]
+        x = np.linspace(0, 7.0, shape[1])[None, :]
+        f = (np.sin(y) * np.cos(x) + 0.3 * np.sin(3.1 * y + 0.5 * x)
+             + 0.002 * rng.standard_normal(shape))
+        return f.astype(dt)
+
+    def field3d(shape, dt, rng):
+        z = np.linspace(0, 5.0, shape[0])[:, None, None]
+        y = np.linspace(0, 4.0, shape[1])[None, :, None]
+        x = np.linspace(0, 6.0, shape[2])[None, None, :]
+        f = (np.sin(z) * np.sin(y) * np.cos(x)
+             + 0.2 * np.cos(2.7 * z * y * 0.1 + x)
+             + 0.002 * rng.standard_normal(shape))
+        return f.astype(dt)
+
+    def walk1d(shape, dt, rng):
+        return np.cumsum(rng.standard_normal(shape[0]) * 1e-3).astype(dt)
+
+    def sparse3d(shape, dt, rng):
+        f = field3d(shape, np.float64, rng)
+        mask = rng.random(shape) < 0.05
+        return (f * mask).astype(dt)
+
     specs = [
-        ("sin1d.f32", np.float32, (2**24,)),
-        ("grid2d.f32", np.float32, (1800, 3600)),
-        ("cube3d.f64", np.float64, (256, 256, 256)),
+        ("sin1d.f32", np.float32, (2**24,), smooth1d),
+        ("grid2d.f32", np.float32, (1800, 3600), field2d),
+        ("cube3d.f64", np.float64, (256, 256, 256), field3d),
+        ("walk1d.f64", np.float64, (2**23,), walk1d),
+        ("sparse3d.f32", np.float32, (128, 128, 256), sparse3d),
     ]
     tmpdir.mkdir(parents=True, exist_ok=True)
     sets = []
-    for name, dt, shape in specs:
-        n = int(np.prod(shape))
-        t = np.arange(n, dtype=np.float64) * 1e-4
-        data = (np.sin(t) + 0.001 * rng.standard_normal(n)).astype(dt)
+    for i, (name, dt, shape, gen) in enumerate(specs):
         path = tmpdir / name
-        if not path.exists() or path.stat().st_size != data.nbytes:
-            data.tofile(path)
+        nbytes = int(np.prod(shape)) * np.dtype(dt).itemsize
+        if not path.exists() or path.stat().st_size != nbytes:
+            gen(shape, dt, np.random.default_rng(i)).tofile(path)
         sets.append(Dataset(name, path, np.dtype(dt), shape))
     return sets
 
