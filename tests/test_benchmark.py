@@ -373,8 +373,17 @@ def test_csv_times_comma_joined(registry):
 
 def test_synthetic_generator(tmp_path):
     sets = bm.make_synthetic(tmp_path / "s")
-    assert len(sets) == 3
-    # files exist and sizes match metadata
+    assert len(sets) == 5
+    # files exist and sizes match metadata; both dtypes and all dims appear
     for ds in sets:
         n = int(np.prod(ds.shape))
         assert ds.path.stat().st_size == n * ds.dtype.itemsize
+    assert {ds.dtype.name for ds in sets} == {"float32", "float64"}
+    assert {len(ds.shape) for ds in sets} == {1, 2, 3}
+    # deterministic regardless of which files already exist: delete one,
+    # regenerate, content unchanged
+    victim = sets[3]
+    before = victim.path.read_bytes()[:4096]
+    victim.path.unlink()
+    sets2 = bm.make_synthetic(tmp_path / "s")
+    assert sets2[3].path.read_bytes()[:4096] == before
