@@ -99,3 +99,21 @@ def test_pallas_fp64_all_zero_blocks():
     assert l == gl and s.tobytes() == g.tobytes()
     out = codec_pallas.decompress(s, data.shape, np.float64)
     assert np.array_equal(out, data)
+
+
+def test_pallas_non_power_of_two_g(monkeypatch):
+    """_g_tiled/_g_tiled_padded step G down by 8 (not halving), so
+    non-power-of-two grid-batch sizes like 24 must trace and round-trip:
+    the tile adapters slice 8-block groups and accept any multiple of 8."""
+    monkeypatch.setattr(codec_pallas, "G_ENC", 24)
+    monkeypatch.setattr(codec_pallas, "G_DEC", 24)
+    # minor block grid = 192/64 * 8 = 24 blocks wide? 2D side=64:
+    # shape (128, 64*24) -> grid (2, 24): 24 % 24 == 0 tiles at G=24.
+    shape = (128, 64 * 24)
+    assert codec_pallas._g_tiled(shape, 2, codec_pallas.G_ENC) == 24
+    data = make_data(shape)
+    g, gl = golden.compress(data)
+    s, l = codec_pallas.compress(data)
+    assert l == gl and s.tobytes() == g.tobytes()
+    out = codec_pallas.decompress(g, shape, np.float32)
+    assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
