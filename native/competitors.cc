@@ -632,6 +632,261 @@ size_t gfc_decompress(const uint8_t* in, size_t clen, double* out, size_t n,
 
 }  // extern "C"
 
+// --- Cascaded (nvCOMP scheme): RLE / delta / bit-pack layers ----------------
+//
+// The reference benchmarks nvCOMP's Cascaded compressor ("nvcomp-cascaded",
+// benchmark.cc:1033-1057) configured as {num_RLEs, num_deltas, use_bp} —
+// default {1,0,1}, or an auto-tune sweep that picks the smallest output.
+// nvCOMP itself is CUDA-only (and an empty submodule stub in the reference
+// checkout); this is an independent serial implementation of the published
+// scheme: R layers of run-length splitting (values/run-lengths), D delta
+// layers, and frame-of-reference bit-packing of every residual array, with
+// our own recursive container.  Elements are the value's integer bits
+// (u32 for fp32, u64 for fp64, as the reference configures NVCOMP_TYPE):
+//   ncc_bound(n_elems, elem_bytes)            -> worst-case bytes
+//   ncc_compress(in, n, elem_bytes, out, cfg) -> bytes written
+//   ncc_decompress(in, clen, out, n, elem_bytes) -> values decoded
+// cfg: 0 auto-tunes over the (R,D,bp) grid like the reference's selector;
+// otherwise cfg = R*100 + D*10 + bp (e.g. 101 = nvCOMP's default).
+
+namespace {
+
+struct NccSink {
+    std::vector<uint8_t> v;
+    void bytes(const void* p, size_t n) {
+        const uint8_t* b = static_cast<const uint8_t*>(p);
+        v.insert(v.end(), b, b + n);
+    }
+    void u8(uint8_t x) { v.push_back(x); }
+    void u64(uint64_t x) { bytes(&x, 8); }
+};
+
+struct NccSrc {
+    const uint8_t* p;
+    size_t len, pos = 0;
+    bool bytes(void* out, size_t n) {
+        if (pos + n > len) return false;
+        std::memcpy(out, p + pos, n);
+        pos += n;
+        return true;
+    }
+    bool u8(uint8_t& x) { return bytes(&x, 1); }
+    bool u64(uint64_t& x) { return bytes(&x, 8); }
+};
+
+void ncc_bitpack(const std::vector<uint64_t>& x, NccSink& out) {
+    out.u64(x.size());
+    if (x.empty()) return;
+    int64_t mn = INT64_MAX, mx = INT64_MIN;
+    for (uint64_t u : x) {
+        int64_t s = int64_t(u);
+        mn = std::min(mn, s);
+        mx = std::max(mx, s);
+    }
+    uint64_t range = uint64_t(mx) - uint64_t(mn);
+    int bits = range ? 64 - __builtin_clzll(range) : 0;
+    out.u8(uint8_t(bits));
+    out.u64(uint64_t(mn));
+    uint64_t acc = 0;
+    int fill = 0;
+    for (uint64_t u : x) {
+        uint64_t d = u - uint64_t(mn);
+        if (bits == 64) {
+            out.u64(d);
+            continue;
+        }
+        acc |= d << fill;
+        fill += bits;
+        if (fill >= 64) {
+            out.u64(acc);
+            fill -= 64;
+            acc = fill ? d >> (bits - fill) : 0;
+        }
+    }
+    if (bits != 64 && fill) out.u64(acc);
+}
+
+bool ncc_bitunpack(NccSrc& in, std::vector<uint64_t>& x) {
+    uint64_t n;
+    if (!in.u64(n)) return false;
+    x.assign(size_t(n), 0);
+    if (!n) return true;
+    uint8_t bits;
+    uint64_t mn;
+    if (!in.u8(bits) || !in.u64(mn)) return false;
+    if (bits > 64) return false;
+    if (bits == 64) {
+        for (size_t i = 0; i < n; ++i)
+            if (!in.u64(x[i])) return false;
+        for (size_t i = 0; i < n; ++i) x[i] += mn;
+        return true;
+    }
+    if (bits == 0) {
+        for (size_t i = 0; i < n; ++i) x[i] = mn;
+        return true;
+    }
+    // positional extraction over the contiguous packed words (value i
+    // occupies bits [i*bits, i*bits+bits) LSB-first)
+    size_t nwords = (n * size_t(bits) + 63) / 64;
+    if (in.pos + nwords * 8 > in.len) return false;
+    const uint8_t* base = in.p + in.pos;
+    in.pos += nwords * 8;
+    uint64_t mask = ~uint64_t(0) >> (64 - bits);
+    for (size_t i = 0; i < n; ++i) {
+        size_t bitpos = i * size_t(bits);
+        size_t w0 = bitpos >> 6;
+        int shift = int(bitpos & 63);
+        uint64_t lo, hi = 0;
+        std::memcpy(&lo, base + w0 * 8, 8);
+        uint64_t v = lo >> shift;
+        if (shift + bits > 64) {
+            std::memcpy(&hi, base + (w0 + 1) * 8, 8);
+            v |= hi << (64 - shift);
+        }
+        x[i] = (v & mask) + mn;
+    }
+    return true;
+}
+
+void ncc_encode_node(std::vector<uint64_t> x, int R, int D, int bp,
+                     NccSink& out) {
+    if (R > 0) {
+        std::vector<uint64_t> vals, runs;
+        size_t i = 0;
+        while (i < x.size()) {
+            size_t j = i + 1;
+            while (j < x.size() && x[j] == x[i]) ++j;
+            vals.push_back(x[i]);
+            runs.push_back(uint64_t(j - i));
+            i = j;
+        }
+        ncc_encode_node(std::move(vals), R - 1, D, bp, out);
+        ncc_encode_node(std::move(runs), 0, D, bp, out);
+        return;
+    }
+    for (int d = 0; d < D; ++d)
+        for (size_t i = x.size(); i-- > 1;) x[i] -= x[i - 1];
+    if (bp) {
+        ncc_bitpack(x, out);
+    } else {
+        out.u64(x.size());
+        out.u8(65);  // sentinel: raw 8-byte words, no packing
+        for (uint64_t u : x) out.u64(u);
+    }
+}
+
+bool ncc_decode_node(NccSrc& in, int R, int D, int bp,
+                     std::vector<uint64_t>& x) {
+    if (R > 0) {
+        std::vector<uint64_t> vals, runs;
+        if (!ncc_decode_node(in, R - 1, D, bp, vals)) return false;
+        if (!ncc_decode_node(in, 0, D, bp, runs)) return false;
+        if (runs.size() != vals.size()) return false;
+        x.clear();
+        for (size_t i = 0; i < vals.size(); ++i) {
+            if (runs[i] == 0 ||
+                x.size() + runs[i] > (uint64_t(1) << 33))  // corrupt-input cap
+                return false;
+            x.insert(x.end(), size_t(runs[i]), vals[i]);
+        }
+        return true;
+    }
+    if (bp) {
+        if (!ncc_bitunpack(in, x)) return false;
+    } else {
+        uint64_t n;
+        uint8_t sentinel;
+        if (!in.u64(n) || !in.u8(sentinel) || sentinel != 65) return false;
+        x.assign(size_t(n), 0);
+        for (size_t i = 0; i < n; ++i)
+            if (!in.u64(x[i])) return false;
+    }
+    for (int d = 0; d < D; ++d)
+        for (size_t i = 1; i < x.size(); ++i) x[i] += x[i - 1];
+    return true;
+}
+
+size_t ncc_emit(const std::vector<uint64_t>& x, int R, int D, int bp,
+                std::vector<uint8_t>& buf) {
+    NccSink sink;
+    ncc_encode_node(x, R, D, bp, sink);
+    buf = std::move(sink.v);
+    return buf.size();
+}
+
+}  // namespace
+
+extern "C" {
+
+size_t ncc_bound(size_t n, int elem_bytes) {
+    // leaves store 8-byte words internally regardless of elem width; the
+    // raw fallback is 8n + headers, and adversarial runs-leaves under
+    // forced configs can exceed that — ncc_compress additionally checks
+    // this capacity and fails rather than overflowing.
+    (void)elem_bytes;
+    return 64 + n * 12;
+}
+
+size_t ncc_compress(const void* in, size_t n, int elem_bytes, uint8_t* out,
+                    int cfg) {
+    const size_t cap = ncc_bound(n, elem_bytes);
+    if (elem_bytes != 4 && elem_bytes != 8) return (size_t)-1;
+    std::vector<uint64_t> x(n);
+    if (elem_bytes == 4) {
+        const uint32_t* p = static_cast<const uint32_t*>(in);
+        for (size_t i = 0; i < n; ++i) x[i] = p[i];
+    } else {
+        std::memcpy(x.data(), in, n * 8);
+    }
+    static const int kGrid[] = {1, 11, 21, 101, 111, 121, 211, 221, 0};
+    std::vector<uint8_t> best, cur;
+    int best_cfg = -1;
+    if (cfg == 0) {
+        for (int c : kGrid) {
+            int R = c / 100, D = c / 10 % 10, bp = c % 10;
+            ncc_emit(x, R, D, bp, cur);
+            if (best_cfg < 0 || cur.size() < best.size()) {
+                best = cur;
+                best_cfg = c;
+            }
+        }
+    } else {
+        best_cfg = cfg;
+        ncc_emit(x, cfg / 100, cfg / 10 % 10, cfg % 10, best);
+    }
+    if (16 + best.size() > cap) return (size_t)-1;  // forced-cfg blowup
+    uint32_t hdr[4] = {uint32_t(best_cfg), uint32_t(elem_bytes),
+                       uint32_t(n & 0xffffffffu), uint32_t(n >> 32)};
+    std::memcpy(out, hdr, 16);
+    std::memcpy(out + 16, best.data(), best.size());
+    return 16 + best.size();
+}
+
+size_t ncc_decompress(const uint8_t* in, size_t clen, void* out, size_t n,
+                      int elem_bytes) {
+    if (clen < 16) return (size_t)-1;
+    uint32_t hdr[4];
+    std::memcpy(hdr, in, 16);
+    int cfg = int(hdr[0]);
+    if (int(hdr[1]) != elem_bytes ||
+        (uint64_t(hdr[3]) << 32 | hdr[2]) != n)
+        return (size_t)-1;
+    NccSrc src{in + 16, clen - 16};
+    std::vector<uint64_t> x;
+    if (!ncc_decode_node(src, cfg / 100, cfg / 10 % 10, cfg % 10, x))
+        return (size_t)-1;
+    if (x.size() != n) return (size_t)-1;
+    if (elem_bytes == 4) {
+        uint32_t* p = static_cast<uint32_t*>(out);
+        for (size_t i = 0; i < n; ++i) p[i] = uint32_t(x[i]);
+    } else {
+        std::memcpy(out, x.data(), n * 8);
+    }
+    return n;
+}
+
+}  // extern "C"
+
 // --- SPDP: synthesized byte-pipeline compressor ----------------------------
 //
 // Stream layout: u32 comp_bytes[nchunks] | concatenated per-chunk payloads,

@@ -422,6 +422,42 @@ class PfpcAlgorithm(Algorithm):
                            decomp_times, data.nbytes, len(comp))
 
 
+class CascadedAlgorithm(Algorithm):
+    """Cascaded RLE/delta/bit-pack scheme (nvCOMP Cascaded), serial CPU
+    reimplementation (native/competitors.cc; reference: benchmark.cc
+    "nvcomp-cascaded").  Tunable 0 auto-tunes the (R, D, bp) grid like
+    the reference's selector; 101 is nvCOMP's non-auto default."""
+
+    name = "cascaded"
+    tunables = (0,)
+
+    def available(self, dataset):
+        from . import competitors
+
+        return competitors.fpc_available()  # same shared library
+
+    def run(self, data, tunable, threads, min_time, min_reps, max_reps):
+        from . import competitors
+
+        flat = np.ascontiguousarray(data).reshape(-1)
+        comp = competitors.cascaded_compress(flat, tunable)
+        out = competitors.cascaded_decompress(comp, flat.size, flat.dtype)
+        wdt = np.uint64 if flat.dtype == np.float64 else np.uint32
+        assert np.array_equal(out.view(wdt), flat.view(wdt)), \
+            "cascaded: round-trip failed"
+        cbuf = np.frombuffer(comp, np.uint8)
+        dst = np.empty_like(flat)
+        comp_times = _rep_loop(
+            lambda: competitors.cascaded_compress(flat, tunable),
+            min_time, min_reps, max_reps, True)
+        decomp_times = _rep_loop(
+            lambda: competitors.cascaded_decompress(cbuf, flat.size,
+                                                    flat.dtype, dst),
+            min_time, min_reps, max_reps, True)
+        return BenchResult(self.name, tunable, threads, comp_times,
+                           decomp_times, data.nbytes, len(comp))
+
+
 class GfcAlgorithm(Algorithm):
     """GFC double compressor, serial CPU reimplementation of the CUDA
     competitor (native/competitors.cc; reference: benchmark.cc "gfc").
@@ -867,6 +903,7 @@ def default_algorithms() -> dict[str, Algorithm]:
         Lz4Algorithm(),
         MpcAlgorithm(),
         GfcAlgorithm(),
+        CascadedAlgorithm(),
         FpzipAlgorithm(),
         ZfpAlgorithm(),
         Blosc2Algorithm(),

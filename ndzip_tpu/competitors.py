@@ -105,6 +105,16 @@ def _load():
             d.restype = ctypes.c_size_t
             d.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
                           ctypes.c_size_t, ctypes.c_int]
+        lib.ncc_bound.restype = ctypes.c_size_t
+        lib.ncc_bound.argtypes = [ctypes.c_size_t, ctypes.c_int]
+        lib.ncc_compress.restype = ctypes.c_size_t
+        lib.ncc_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int]
+        lib.ncc_decompress.restype = ctypes.c_size_t
+        lib.ncc_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int]
         lib.gfc_bound.restype = ctypes.c_size_t
         lib.gfc_bound.argtypes = [ctypes.c_size_t]
         lib.gfc_compress.restype = ctypes.c_size_t
@@ -240,6 +250,42 @@ def mpc_decompress(comp, n: int, dtype, dim: int = 1,
         out.ctypes.data_as(ctypes.c_void_p), n, dim)
     if got != n:
         raise RuntimeError("mpc_decompress failed")
+    return out
+
+
+def cascaded_compress(data: np.ndarray, cfg: int = 0) -> bytes:
+    """Cascaded RLE/delta/bit-pack scheme over the value bits (own serial
+    implementation of the nvCOMP Cascaded scheme, native/competitors.cc;
+    benchmark.cc "nvcomp-cascaded").  cfg 0 auto-tunes; else R*100+D*10+bp
+    (101 = nvCOMP's default {1,0,1})."""
+    lib = _load()
+    data = np.ascontiguousarray(data)
+    eb = data.dtype.itemsize
+    flat = data.reshape(-1)
+    out = np.empty(lib.ncc_bound(flat.size, eb), np.uint8)
+    written = lib.ncc_compress(
+        flat.ctypes.data_as(ctypes.c_void_p), flat.size, eb,
+        out.ctypes.data_as(ctypes.c_void_p), cfg)
+    if written == ctypes.c_size_t(-1).value:
+        raise RuntimeError("ncc_compress failed")
+    return out[:written].tobytes()
+
+
+def cascaded_decompress(comp, n: int, dtype,
+                        out: np.ndarray | None = None) -> np.ndarray:
+    lib = _load()
+    if isinstance(comp, np.ndarray):
+        buf, clen = comp, comp.size
+    else:
+        buf, clen = np.frombuffer(comp, np.uint8), len(comp)
+    dtype = np.dtype(dtype)
+    if out is None:
+        out = np.empty(n, dtype)
+    got = lib.ncc_decompress(
+        buf.ctypes.data_as(ctypes.c_void_p), clen,
+        out.ctypes.data_as(ctypes.c_void_p), n, dtype.itemsize)
+    if got != n:
+        raise RuntimeError("ncc_decompress failed")
     return out
 
 
