@@ -241,7 +241,8 @@ def mpc_decompress(comp, n: int, dtype, dim: int = 1,
     if isinstance(comp, np.ndarray):
         buf, clen = comp, comp.size
     else:
-        buf, clen = np.frombuffer(comp, np.uint32), len(comp) // 4
+        clen = len(comp) // 4  # ragged tails (corrupt input) are dropped;
+        buf = np.frombuffer(comp[: clen * 4], np.uint32)  # the codec rejects
     suffix = "64" if np.dtype(dtype) == np.float64 else "32"
     if out is None:
         out = np.empty(n, dtype)

@@ -424,3 +424,47 @@ def test_synthetic_generator(tmp_path):
     victim.path.unlink()
     sets2 = bm.make_synthetic(tmp_path / "s")
     assert sets2[3].path.read_bytes()[:4096] == before
+
+
+def test_native_competitor_decoders_survive_corruption():
+    """Truncated and bit-flipped streams must fail cleanly (RuntimeError
+    from the -1 status) or decode to garbage — never crash: every native
+    decoder bounds-checks its reads (native/competitors.cc)."""
+    from ndzip_tpu import competitors
+
+    if not competitors.fpc_available():
+        pytest.skip("no C++ toolchain for the competitor build")
+    rng = np.random.default_rng(13)
+    f32 = np.sin(np.arange(9_173, dtype=np.float32) * 1e-3)
+    f64 = np.cumsum(rng.standard_normal(7_001))
+
+    def mutations(comp):
+        yield comp[: len(comp) // 2]          # truncate
+        yield comp[:7]                        # near-empty
+        arr = bytearray(comp)
+        for pos in rng.integers(0, len(arr), 32):
+            arr[pos] ^= 0xFF
+        yield bytes(arr)                      # bit flips
+
+    codecs = [
+        (competitors.spdp_compress(f32.tobytes()),
+         lambda c: competitors.spdp_decompress(c, f32.nbytes)),
+        (competitors.lz4_compress(f32.tobytes()),
+         lambda c: competitors.lz4_decompress(c, f32.nbytes)),
+        (competitors.mpc_compress(f32),
+         lambda c: competitors.mpc_decompress(c, f32.size, np.float32)),
+        (competitors.mpc_compress(f64),
+         lambda c: competitors.mpc_decompress(c, f64.size, np.float64)),
+        (competitors.gfc_compress(f64),
+         lambda c: competitors.gfc_decompress(c, f64.size)),
+        (competitors.cascaded_compress(f32),
+         lambda c: competitors.cascaded_decompress(c, f32.size, np.float32)),
+        (competitors.fpc_compress(f64),
+         lambda c: competitors.fpc_decompress(c, f64.size)),
+    ]
+    for comp, dec in codecs:
+        for bad in mutations(comp):
+            try:
+                dec(bad)
+            except RuntimeError:
+                pass  # clean failure is the expected outcome
