@@ -21,6 +21,7 @@ run, as the reference does (benchmark.cc:263-265).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -164,6 +165,40 @@ def main():
             "fp64_decompress_gbps": round(d64.nbytes / t64 / 1e9, 3),
             "fp64_ratio": round(l64 * 4 / d64.nbytes, 4),
         }
+
+    # --- CESM 2D unaligned-minor decode (BASELINE config 2), opt-in:
+    # NDZIP_TPU_BENCH_FULL=1 (set by dev/hw_session.sh; skipped in the
+    # default run to keep first-compile cost out of the driver's bench) ---
+    if on_tpu and os.environ.get("NDZIP_TPU_BENCH_FULL"):
+        shape2 = (1800, 3600)
+        y = np.linspace(0, 11.0, shape2[0], dtype=np.float64)[:, None]
+        x2 = np.linspace(0, 7.0, shape2[1], dtype=np.float64)[None, :]
+        d2 = (np.sin(y) * np.cos(x2)
+              + 0.001 * rng.standard_normal(shape2)).astype(np.float32)
+        s2, l2 = codec_pallas.compress(d2)
+        out2 = codec_pallas.decompress(s2[:l2], shape2, np.float32)
+        assert np.array_equal(out2.view(np.uint32), d2.view(np.uint32)), \
+            "CESM round-trip failed"
+        s2_dev = jnp.asarray(codec_pallas._pad_for_decode(s2[:l2], shape2, 32))
+
+        def make_dec2(reps):
+            @jax.jit
+            def loop(s):
+                def body(i, carry):
+                    s_, acc = carry
+                    s_ = jax.lax.dynamic_update_slice(
+                        s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
+                    w = codec_pallas._decode_fp32_device(s_, shape2)
+                    return s_, acc + jax.lax.bitcast_convert_type(
+                        w.reshape(-1)[0], jnp.int32)
+                return jax.lax.fori_loop(0, reps, body, (s, jnp.int32(0)))[1]
+            return loop
+
+        t2_1 = timed(make_dec2(R1), s2_dev)
+        t2_2 = timed(make_dec2(R2), s2_dev)
+        t2 = (t2_2 - t2_1) / (R2 - R1)
+        fp64["cesm_decompress_gbps"] = round(d2.nbytes / t2 / 1e9, 3)
+        fp64["cesm_ratio"] = round(l2 * 4 / d2.nbytes, 4)
 
     result = {
         "metric": "fp32 1D 2^24 decompression throughput (single chip, device time)",

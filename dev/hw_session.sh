@@ -58,7 +58,7 @@ for shape, dt in [((4096*8+100,), np.float32), ((128,512), np.float32),
 step smoke 3600 env NDZIP_TPU_TESTS_TPU=1 python -m pytest tests/test_tpu_smoke.py -x -q
 
 # 3. Headline bench (fp32 1D enc+dec, G_DEC=32).
-step bench 3600 python bench.py
+step bench 5400 env NDZIP_TPU_BENCH_FULL=1 python bench.py
 
 # 4. Named BASELINE configs: CESM 2D unaligned minor (padded decode path),
 #    3D 256^3, fp64 1D.
