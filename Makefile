@@ -11,7 +11,7 @@ native/libndzip_cpu.so: native/ndzip_cpu.cc
 	$(CXX) -O3 -march=native -funroll-loops -std=c++17 -shared -fPIC -pthread $< -o $@
 
 native/libndzip_competitors.so: native/competitors.cc
-	$(CXX) -O3 -march=native -funroll-loops -std=c++17 -shared -fPIC $< -o $@
+	$(CXX) -O3 -march=native -funroll-loops -std=c++17 -shared -fPIC -pthread $< -o $@
 
 # CMake variant of the native build
 native-cmake:
@@ -27,8 +27,8 @@ test-tpu:
 	NDZIP_TPU_TESTS_TPU=1 python -m pytest tests/test_tpu_smoke.py -x -q
 
 lint:
-	python -m compileall -q ndzip_tpu tests dev
-	python -m pyflakes ndzip_tpu tests dev 2>/dev/null || true
+	python -m compileall -q ndzip_tpu tests dev examples
+	python -m pyflakes ndzip_tpu tests dev examples 2>/dev/null || true
 
 bench: native
 	python bench.py
