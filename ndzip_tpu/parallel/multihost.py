@@ -355,8 +355,7 @@ def decompress_multihost(stream: np.ndarray, global_shape, dtype,
     # the slice during the decompression half of a round trip).  Falls
     # back to one device only when the slab's block grid cannot split.
     local_devs = jax.local_devices()
-    grid_local = fmt.grid_shape(local_shape)
-    if len(local_devs) > 1 and grid_local and grid_local[0] % len(local_devs) == 0:
+    if len(local_devs) > 1 and fmt.num_hypercubes(local_shape) > 0:
         local_mesh = sharded.make_mesh(local_devs)
         return sharded.decompress_sharded(
             sub_stream, local_shape, dtype, local_mesh)
