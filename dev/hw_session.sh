@@ -63,7 +63,16 @@ for shape, dt in [((4096*8+100,), np.float32), ((128,512), np.float32),
 # 2. Mosaic smoke suite (all compiled path classes + merge-gate extremes).
 step smoke 3600 env NDZIP_TPU_TESTS_TPU=1 python -m pytest tests/test_tpu_smoke.py -x -q
 
-# 3. Headline bench (fp32 1D enc+dec, G_DEC=32).
+# 3. Warm the compile cache for every shape bench.py touches, at bench's
+#    exact G knobs (G_ENC default, G_DEC=32 fp32 / default fp64), so the
+#    driver's later default-mode bench run starts from a hot cache.
+step warm_bench_shapes 7200 env NDZIP_TPU_G_DEC=32 python -m ndzip_tpu.warm \
+    --shapes 16777216 1800x3600 256x256x256 --dtype float
+step warm_bench_fp64 7200 python -m ndzip_tpu.warm \
+    --shapes 8388608 512x512x512 --dtype double
+
+# 4. Headline bench (fp32 1D enc+dec + CESM + 256^3 by default; FULL adds
+#    fp64 512^3).
 step bench 5400 env NDZIP_TPU_BENCH_FULL=1 python bench.py
 
 # 4. Named BASELINE configs: CESM 2D unaligned minor (padded decode path),
