@@ -57,12 +57,10 @@ def main():
         # per-shape compile time; see codec_pallas G_* notes)
         codec_pallas.G_DEC = max(codec_pallas.G_DEC, 32)
         enc = lambda w: codec_pallas._encode_fp32_device(w, shape)
-        dec = lambda s: codec_pallas._decode_fp32_device(s, shape)
         pad_extra = codec_pallas.WIN_ROWS * codec_pallas.LANES
         backend = "pallas"
     else:
         enc = codec_xla.encode_fn(shape, 32)
-        dec = codec_xla.decode_fn(shape, 32)
         pad_extra = 0
         backend = "xla"
 
@@ -74,6 +72,16 @@ def main():
     host_stream = np.zeros(bound + pad_extra, np.uint32)
     host_stream[:length] = np.asarray(padded[:length])
     stream_dev = jnp.asarray(host_stream)
+
+    if on_tpu:
+        # adaptive decode window: the header offset table bounds the
+        # largest block, so decode skips DMA rows / select-matmul columns
+        # the stream cannot touch (bit-exactness asserted below)
+        win32 = codec_pallas.win_rows_for(
+            codec_pallas.max_block_words(host_stream, shape, 32))
+        dec = lambda s: codec_pallas._decode_fp32_device(s, shape, win32)
+    else:
+        dec = codec_xla.decode_fn(shape, 32)
 
     # correctness gate: bit-exact round trip + stream matches the oracle
     out = np.asarray(dec(stream_dev))
@@ -140,7 +148,10 @@ def main():
         p64, l64 = codec_pallas._encode_fp64_device(lo, hi, shape64)
         l64 = int(l64)
         s64 = codec_pallas._pad_for_decode(np.asarray(p64[:l64]), shape64, 64)
-        out64 = codec_pallas.decompress(s64[:l64], shape64, np.float64)
+        win64 = codec_pallas.win_rows_for(
+            codec_pallas.max_block_words(s64, shape64, 64))
+        out64 = codec_pallas.decompress(s64[:l64], shape64, np.float64,
+                                        win=win64)
         assert np.array_equal(out64.view(np.uint64), d64.view(np.uint64)), \
             "fp64 round-trip failed"
         s64_dev = jnp.asarray(s64)
@@ -152,7 +163,8 @@ def main():
                     s_, acc = carry
                     s_ = jax.lax.dynamic_update_slice(
                         s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
-                    lo_, hi_ = codec_pallas._decode_fp64_device(s_, shape64)
+                    lo_, hi_ = codec_pallas._decode_fp64_device(
+                        s_, shape64, win64)
                     return s_, acc + jax.lax.bitcast_convert_type(
                         lo_.reshape(-1)[0], jnp.int32)
                 return jax.lax.fori_loop(0, reps, body, (s, jnp.int32(0)))[1]
@@ -175,7 +187,10 @@ def main():
     # NDZIP_TPU_BENCH_FULL to bound default wall time. ---
     def bench_dec32(shape_x, d_x):
         s_x, l_x = codec_pallas.compress(d_x)
-        out_x = codec_pallas.decompress(s_x[:l_x], shape_x, np.float32)
+        win_x = codec_pallas.win_rows_for(
+            codec_pallas.max_block_words(s_x, shape_x, 32))
+        out_x = codec_pallas.decompress(s_x[:l_x], shape_x, np.float32,
+                                        win=win_x)
         assert np.array_equal(out_x.view(np.uint32), d_x.view(np.uint32)), \
             f"{shape_x} round-trip failed"
         s_dev = jnp.asarray(codec_pallas._pad_for_decode(s_x[:l_x], shape_x, 32))
@@ -187,7 +202,7 @@ def main():
                     s_, acc = carry
                     s_ = jax.lax.dynamic_update_slice(
                         s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
-                    w = codec_pallas._decode_fp32_device(s_, shape_x)
+                    w = codec_pallas._decode_fp32_device(s_, shape_x, win_x)
                     return s_, acc + jax.lax.bitcast_convert_type(
                         w.reshape(-1)[0], jnp.int32)
                 return jax.lax.fori_loop(0, reps, body, (s, jnp.int32(0)))[1]
@@ -224,7 +239,9 @@ def main():
               * np.sin(z5[None, None, :] * 2)
               + 0.001 * rng.standard_normal(shape5))
         s5, l5 = codec_pallas.compress(d5)
-        out5 = codec_pallas.decompress(s5[:l5], shape5, np.float64)
+        win5 = codec_pallas.win_rows_for(
+            codec_pallas.max_block_words(s5, shape5, 64))
+        out5 = codec_pallas.decompress(s5[:l5], shape5, np.float64, win=win5)
         assert np.array_equal(out5.view(np.uint64), d5.view(np.uint64)), \
             "512^3 fp64 round-trip failed"
         s5_dev = jnp.asarray(codec_pallas._pad_for_decode(s5[:l5], shape5, 64))
@@ -236,7 +253,8 @@ def main():
                     s_, acc = carry
                     s_ = jax.lax.dynamic_update_slice(
                         s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
-                    lo_, hi_ = codec_pallas._decode_fp64_device(s_, shape5)
+                    lo_, hi_ = codec_pallas._decode_fp64_device(
+                        s_, shape5, win5)
                     return s_, acc + jax.lax.bitcast_convert_type(
                         lo_.reshape(-1)[0], jnp.int32)
                 return jax.lax.fori_loop(0, reps, body, (s, jnp.int32(0)))[1]

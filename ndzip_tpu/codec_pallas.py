@@ -805,6 +805,51 @@ def _encode_interior_fp32(words, shape, num_hc, G, start_word=None):
 
 WIN_ROWS = 34  # 4224 max block words + up to 127 alignment slack
 
+# Decode-window row buckets for the adaptive fast path: the header offset
+# table bounds every block's compressed length BEFORE decode launches (the
+# random-access property the reference exploits, cuda_codec.inl:290-297),
+# so the decoder can pick the smallest window covering the stream's
+# largest block — fewer HBM rows DMA'd per block and a shorter
+# select-matmul contraction, zero format change.  Buckets bound the number
+# of compiled kernel variants (each (shape, G, win) is a fresh Mosaic
+# compile).
+WIN_BUCKETS = (12, 17, 22, 26, 34)
+
+
+def win_rows_for(max_block_words: int) -> int:
+    """Smallest supported decode-window row count for a stream whose
+    largest block is `max_block_words` profile words: ceil((L+127)/128)
+    covers the worst 127-lane start rotation.  Feed it
+    ``max_block_words()`` of the actual stream; a too-small window
+    silently corrupts output."""
+    need = (int(max_block_words) + 2 * (LANES - 1)) // LANES
+    for b in WIN_BUCKETS:
+        if b >= need:
+            return b
+    return WIN_ROWS
+
+
+def max_block_words(stream, shape, wb: int) -> int:
+    """Largest compressed block length (in profile words) read from the
+    stream's header offset table (host-side numpy)."""
+    num_hc = fmt.num_hypercubes(tuple(shape))
+    if num_hc == 0:
+        return 0
+    off = np.asarray(stream[:num_hc]).astype(np.int64)
+    return int(np.max(np.diff(off, prepend=0)))
+
+
+def _win_from_env() -> int | None:
+    """NDZIP_TPU_WIN_ROWS: unset -> worst-case WIN_ROWS (no extra compile
+    variants); 'adaptive' -> pick the bucket from each stream's header;
+    an integer pins a fixed window row count."""
+    v = os.environ.get("NDZIP_TPU_WIN_ROWS", "").strip().lower()
+    if not v:
+        return WIN_ROWS
+    if v == "adaptive":
+        return None
+    return int(v)
+
 
 def rotate_rows_to_offset(comp_planes, j, can):
     """Per-row lane rotation of left-compacted rows to their global stream
@@ -867,14 +912,15 @@ def _store_blocks(out_ref, xf, mode, G):
         out_ref[0] = xf.reshape(G, fmt.HC_SIZE)
 
 
-def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat"):
+def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat", win_rows=WIN_ROWS):
     """Per-row gather decode: instead of derotating the whole window and
     running a log-depth expand butterfly (the two hottest stages of the v1
     kernel), each output row r selects its <=2 source rows with an MXU
     one-hot matmul and places its words with ONE lane gather.  Source
     position of dest (row r, lane l) = block_rot + 128 + sum(present
     before row r) + in-row rank(l); spans at most 2 window rows because a
-    row re-expands exactly 128 words from <=128 sources."""
+    row re-expands exactly 128 words from <=128 sources.  ``win_rows``
+    (<= WIN_ROWS) must cover the stream's largest block (win_rows_for)."""
 
     def kernel(starts_ref, stream_ref, out_ref, win, sems):
         step = pl.program_id(0)
@@ -886,7 +932,7 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat"):
             for g in range(G):
                 start = starts_ref[target_step * G + g]
                 pltpu.make_async_copy(
-                    stream_ref.at[pl.ds(start // LANES, WIN_ROWS)],
+                    stream_ref.at[pl.ds(start // LANES, win_rows)],
                     win.at[buf, g], sems.at[buf, g]).start()
 
         @pl.when(step == 0)
@@ -899,10 +945,10 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat"):
 
         for g in range(G):
             pltpu.make_async_copy(
-                stream_ref.at[pl.ds(0, WIN_ROWS)],
+                stream_ref.at[pl.ds(0, win_rows)],
                 win.at[cur, g], sems.at[cur, g]).wait()
 
-        w = win[cur]                                 # (G, 34, 128)
+        w = win[cur]                                 # (G, win_rows, 128)
         # per-block rotation scalars broadcast to (G,1,128): Mosaic supports
         # scalar->lanes and sublane broadcasts, but not both at once from a
         # (G,1,1) vector
@@ -934,7 +980,7 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat"):
         p = srow // LANES                                       # in [1, 33]
         rot = srow % LANES
 
-        q = jax.lax.broadcasted_iota(jnp.int32, (G, 32, WIN_ROWS), 2)
+        q = jax.lax.broadcasted_iota(jnp.int32, (G, 32, win_rows), 2)
         p_col = p[:, :, 0:1]
         P12 = jnp.concatenate(
             [(q == p_col), (q == p_col + 1)], axis=1).astype(jnp.float32)
@@ -955,14 +1001,14 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat"):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _decode_blocks_fp32(stream2d, starts, dims, num_hc):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _decode_blocks_fp32(stream2d, starts, dims, num_hc, win=WIN_ROWS):
     """stream2d: (rows,128) u32 padded stream; starts: (nb_pad,) i32 word
     offsets of each block (incl. header).  Returns blocks (nb_pad, 4096)."""
     nb_pad = starts.shape[0]
     G = G_DEC
     nsteps = nb_pad // G
-    kernel = _decode_kernel_fp32(dims, num_hc, G, nsteps)
+    kernel = _decode_kernel_fp32(dims, num_hc, G, nsteps, win_rows=win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
@@ -972,7 +1018,7 @@ def _decode_blocks_fp32(stream2d, starts, dims, num_hc):
         out_specs=pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g, starts: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, G, WIN_ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((2, G, win, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
@@ -996,8 +1042,8 @@ def _minor_padded_shape(shape, dims, G, gx):
     return shape[:-1] + (max(shape[-1], m_pad),)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _decode_interior_fp32(stream2d, starts, shape, num_hc, G, gx):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _decode_interior_fp32(stream2d, starts, shape, num_hc, G, gx, win=WIN_ROWS):
     """Tiled fast-path decode over the G-padded block grid: writes a
     minor-dim-padded array directly via tiled out BlockSpecs (the pipeline
     DMAs the rearranged tiles; no XLA scatter transpose, no clipped
@@ -1009,7 +1055,7 @@ def _decode_interior_fp32(stream2d, starts, shape, num_hc, G, gx):
     block_shape, imap, nb_padded = _tiled_layout_padded(shape, dims, G, gx)
     nsteps = nb_padded // G
     mode = "tile2d" if dims == 2 else "tile3d"
-    kernel = _decode_kernel_fp32(dims, num_hc, G, nsteps, mode)
+    kernel = _decode_kernel_fp32(dims, num_hc, G, nsteps, mode, win_rows=win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
@@ -1019,7 +1065,7 @@ def _decode_interior_fp32(stream2d, starts, shape, num_hc, G, gx):
         out_specs=pl.BlockSpec(block_shape, lambda g, starts: imap(g),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, G, WIN_ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((2, G, win, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
@@ -1433,7 +1479,7 @@ def _encode_fp64_device(lo, hi, shape):
 # ------------------------------------------------------------- fp64 decode
 
 
-def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat"):
+def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat", win_rows=WIN_ROWS):
     """Per-row gather decode on (lo, hi) planes — see _decode_kernel_fp32
     for the design; heads occupy 64 u64 words (not 128)."""
 
@@ -1445,7 +1491,7 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat"):
             for g in range(G):
                 start = starts_ref[target_step * G + g]
                 pltpu.make_async_copy(
-                    stream_ref.at[pl.ds(2 * (start // LANES), 2 * WIN_ROWS)],
+                    stream_ref.at[pl.ds(2 * (start // LANES), 2 * win_rows)],
                     win32.at[buf, g], sem.at[buf, g]).start()
 
         @pl.when(step == 0)
@@ -1458,7 +1504,7 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat"):
 
         for g in range(G):
             pltpu.make_async_copy(
-                stream_ref.at[pl.ds(0, 2 * WIN_ROWS)],
+                stream_ref.at[pl.ds(0, 2 * win_rows)],
                 win32.at[cur, g], sem.at[cur, g]).wait()
 
         # split the interleaved u32 stream rows into u64-word planes
@@ -1502,7 +1548,7 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat"):
         p = srow // LANES                                       # in [0, 33)
         rot = srow % LANES
 
-        q = jax.lax.broadcasted_iota(jnp.int32, (G, 32, WIN_ROWS), 2)
+        q = jax.lax.broadcasted_iota(jnp.int32, (G, 32, win_rows), 2)
         p_col = p[:, :, 0:1]
         P12 = jnp.concatenate(
             [(q == p_col), (q == p_col + 1)], axis=1).astype(jnp.float32)
@@ -1533,14 +1579,14 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat"):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _decode_blocks_fp64(stream2d, starts, dims, num_hc):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _decode_blocks_fp64(stream2d, starts, dims, num_hc, win=WIN_ROWS):
     """stream2d: (rows,128) u32 padded interleaved stream; starts:
     (nb_pad,) i32 u64-word offsets of each block (incl. header)."""
     nb_pad = starts.shape[0]
     G = G_DEC64
     nsteps = nb_pad // G
-    kernel = _decode_kernel_fp64(dims, num_hc, G, nsteps)
+    kernel = _decode_kernel_fp64(dims, num_hc, G, nsteps, win_rows=win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
@@ -1552,7 +1598,7 @@ def _decode_blocks_fp64(stream2d, starts, dims, num_hc):
                    pl.BlockSpec((1, G, fmt.HC_SIZE), lambda g, starts: (g, 0, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((2, G, 2 * WIN_ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((2, G, 2 * win, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
@@ -1566,8 +1612,8 @@ def _decode_blocks_fp64(stream2d, starts, dims, num_hc):
     return b_lo.reshape(nb_pad, fmt.HC_SIZE), b_hi.reshape(nb_pad, fmt.HC_SIZE)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _decode_interior_fp64(stream2d, starts, shape, num_hc, G, gx):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _decode_interior_fp64(stream2d, starts, shape, num_hc, G, gx, win=WIN_ROWS):
     """Tiled fast-path fp64 decode over the G-padded block grid: writes
     minor-dim-padded (lo, hi) plane arrays directly via tiled out
     BlockSpecs and slices (fake blocks / clipping-free stores as in
@@ -1577,7 +1623,7 @@ def _decode_interior_fp64(stream2d, starts, shape, num_hc, G, gx):
     block_shape, imap, nb_padded = _tiled_layout_padded(shape, dims, G, gx)
     nsteps = nb_padded // G
     mode = "tile2d" if dims == 2 else "tile3d"
-    kernel = _decode_kernel_fp64(dims, num_hc, G, nsteps, mode)
+    kernel = _decode_kernel_fp64(dims, num_hc, G, nsteps, mode, win_rows=win)
     out_spec = pl.BlockSpec(block_shape, lambda g, starts: imap(g),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1588,7 +1634,7 @@ def _decode_interior_fp64(stream2d, starts, shape, num_hc, G, gx):
         ],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
-            pltpu.VMEM((2, G, 2 * WIN_ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((2, G, 2 * win, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
@@ -1605,10 +1651,11 @@ def _decode_interior_fp64(stream2d, starts, shape, num_hc, G, gx):
     return lo, hi
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _decode_fp64_device(stream, shape):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _decode_fp64_device(stream, shape, win=WIN_ROWS):
     """stream: padded u32 stream (>= 2*(bound_u64_rows + WIN_ROWS)*128).
-    Returns (lo, hi) uint32 plane arrays of `shape`."""
+    Returns (lo, hi) uint32 plane arrays of `shape`.  ``win`` as in
+    _decode_fp32_device (u64-word window rows)."""
     dims = len(shape)
     num_hc = fmt.num_hypercubes(shape)
     border_idx = _border_indices(shape)
@@ -1632,7 +1679,7 @@ def _decode_fp64_device(stream, shape):
             G_t, gx = tc
             ids = jnp.asarray(_padded_block_ids(shape, dims, G_t, gx))
             arr_lo, arr_hi = _decode_interior_fp64(
-                stream2d, starts_full[ids], shape, num_hc, G_t, gx)
+                stream2d, starts_full[ids], shape, num_hc, G_t, gx, win)
         else:
             nb_pad = (num_hc + G_DEC64 - 1) // G_DEC64 * G_DEC64
             starts = starts_full
@@ -1640,7 +1687,7 @@ def _decode_fp64_device(stream, shape):
                 starts = jnp.concatenate(
                     [starts,
                      jnp.broadcast_to(starts[num_hc - 1], (nb_pad - num_hc,))])
-            b_lo, b_hi = _decode_blocks_fp64(stream2d, starts, dims, num_hc)
+            b_lo, b_hi = _decode_blocks_fp64(stream2d, starts, dims, num_hc, win)
             flat_lo = _scatter_blocks_xla(b_lo[:num_hc], shape, flat_lo)
             flat_hi = _scatter_blocks_xla(b_hi[:num_hc], shape, flat_hi)
             arr_lo, arr_hi = flat_lo.reshape(shape), flat_hi.reshape(shape)
@@ -1751,9 +1798,12 @@ def _encode_fp32_device(words, shape):
     return out, length
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _decode_fp32_device(stream, shape):
-    """stream: padded (>= bound + one window row) u32.  Returns words."""
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _decode_fp32_device(stream, shape, win=WIN_ROWS):
+    """stream: padded (>= bound + one window row) u32.  Returns words.
+    ``win`` (static) must cover the stream's largest block — pick it with
+    win_rows_for(max_block_words(...)); the worst-case default always
+    does."""
     dims = len(shape)
     num_hc = fmt.num_hypercubes(shape)
     border_idx = _border_indices(shape)
@@ -1774,7 +1824,7 @@ def _decode_fp32_device(stream, shape):
             G_t, gx = tc
             ids = jnp.asarray(_padded_block_ids(shape, dims, G_t, gx))
             arr = _decode_interior_fp32(
-                stream2d, starts_full[ids], shape, num_hc, G_t, gx)
+                stream2d, starts_full[ids], shape, num_hc, G_t, gx, win)
         else:
             nb_pad = (num_hc + G_DEC - 1) // G_DEC * G_DEC
             starts = starts_full
@@ -1782,7 +1832,7 @@ def _decode_fp32_device(stream, shape):
                 starts = jnp.concatenate(
                     [starts,
                      jnp.broadcast_to(starts[num_hc - 1], (nb_pad - num_hc,))])
-            blocks = _decode_blocks_fp32(stream2d, starts, dims, num_hc)
+            blocks = _decode_blocks_fp32(stream2d, starts, dims, num_hc, win)
             flat = _scatter_blocks_xla(blocks[:num_hc], shape, flat)
             arr = flat.reshape(shape)
     else:
@@ -1848,7 +1898,7 @@ def _with_decode_slack(stream, shape, wb):
     return stream
 
 
-def decompress_device(stream, shape, dtype=np.float32):
+def decompress_device(stream, shape, dtype=np.float32, win=None):
     """Device-resident decompress (cuda.hh:28-41 analog).  ``stream`` is a
     u32 device array holding the compressed chunk from word 0.
     ``compress_device``'s buffer is consumed as-is (no device copy);
@@ -1859,12 +1909,16 @@ def decompress_device(stream, shape, dtype=np.float32):
     shape = tuple(shape)
     fmt.validate_shape(shape)
     wb = fmt.word_bits_for_dtype(np.dtype(dtype))
+    if win is None:
+        env_win = _win_from_env()
+        win = env_win if env_win is not None else WIN_ROWS  # device data:
+        # the header lives on-chip, so 'adaptive' falls back to worst case
     need = fmt.compressed_bound_u32(shape, wb) + (wb // 32) * WIN_ROWS * LANES
     if stream.shape[0] < need:
         stream = _pad_stream_device(stream, need)
     if wb == 64:
-        return _decode_fp64_device(stream, shape)
-    out = _decode_fp32_device(stream, shape)
+        return _decode_fp64_device(stream, shape, win)
+    out = _decode_fp32_device(stream, shape, win)
     if np.dtype(dtype) == np.float32:
         out = jax.lax.bitcast_convert_type(out, jnp.float32)
     return out
@@ -1906,16 +1960,21 @@ def compress(data: np.ndarray) -> tuple[np.ndarray, int]:
     return np.asarray(padded[:length]), length
 
 
-def decompress(stream: np.ndarray, shape, dtype) -> np.ndarray:
+def decompress(stream: np.ndarray, shape, dtype, win=None) -> np.ndarray:
     shape = tuple(shape)
     fmt.validate_shape(shape)
     dtype = np.dtype(dtype)
     wb = fmt.word_bits_for_dtype(dtype)
-    padded = _pad_for_decode(np.asarray(stream), shape, wb)
+    stream = np.asarray(stream)
+    if win is None:
+        win = _win_from_env()
+        if win is None:  # NDZIP_TPU_WIN_ROWS=adaptive: bucket from header
+            win = win_rows_for(max_block_words(stream, shape, wb))
+    padded = _pad_for_decode(stream, shape, wb)
     if wb == 64:
         from .ops import u64pair
 
-        lo, hi = _decode_fp64_device(jnp.asarray(padded), shape)
+        lo, hi = _decode_fp64_device(jnp.asarray(padded), shape, win)
         return u64pair.join(np.asarray(lo), np.asarray(hi)).view(dtype)
-    words = _decode_fp32_device(jnp.asarray(padded), shape)
+    words = _decode_fp32_device(jnp.asarray(padded), shape, win)
     return np.asarray(words).view(dtype)

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--peak", action="store_true",
                    help="warm at the peak-throughput grid batches "
                         "(G_ENC=16, G_DEC=32/16) instead of the defaults")
+    p.add_argument("--win-rows", type=int, default=None,
+                   help="also warm the decode at this adaptive window "
+                        "bucket (codec_pallas.WIN_BUCKETS); default warms "
+                        "only the worst-case window")
     p.add_argument("--cache-dir", default=None,
                    help="cache directory (default: $NDZIP_TPU_CACHE_DIR)")
     return p
@@ -95,7 +99,11 @@ def run(argv=None) -> int:
             data = np.zeros(shape, dtype)
             stream, _ = codec.compress(data)
             t1 = time.perf_counter()
-            out = codec.decompress(stream, shape, dtype)
+            if args.win_rows is not None and hasattr(codec, "WIN_BUCKETS"):
+                out = codec.decompress(stream, shape, dtype,
+                                       win=args.win_rows)
+            else:
+                out = codec.decompress(stream, shape, dtype)
             t2 = time.perf_counter()
             ok = np.array_equal(out.view(np.uint8).reshape(-1),
                                 data.view(np.uint8).reshape(-1))

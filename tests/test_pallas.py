@@ -117,3 +117,29 @@ def test_pallas_non_power_of_two_g(monkeypatch):
     assert l == gl and s.tobytes() == g.tobytes()
     out = codec_pallas.decompress(g, shape, np.float32)
     assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
+
+
+@pytest.mark.parametrize("dt", [np.float32, np.float64])
+def test_pallas_adaptive_win_roundtrip(dt):
+    """Decode with the smallest window bucket the stream's header allows
+    (win_rows_for) is bit-exact, as is every larger bucket."""
+    shape = (4096 * 3 + 50,)
+    smooth = np.sin(np.arange(shape[0]) * 1e-3)
+    data = (smooth + 1e-4 * RNG.standard_normal(shape)).astype(dt)
+    g, _ = golden.compress(data)
+    wb = 64 if dt == np.float64 else 32
+    win = codec_pallas.win_rows_for(codec_pallas.max_block_words(g, shape, wb))
+    assert win < codec_pallas.WIN_ROWS  # smooth data must hit a smaller bucket
+    wdt = np.uint64 if dt == np.float64 else np.uint32
+    for w in sorted({win, codec_pallas.WIN_ROWS}):
+        out = codec_pallas.decompress(g, shape, dt, win=w)
+        assert np.array_equal(out.view(wdt), data.view(wdt)), f"win={w}"
+
+
+def test_win_rows_for_buckets():
+    assert codec_pallas.win_rows_for(0) == codec_pallas.WIN_BUCKETS[0]
+    assert codec_pallas.win_rows_for(4096 + 128) == codec_pallas.WIN_ROWS
+    for b in codec_pallas.WIN_BUCKETS:
+        # the largest block a bucket claims to cover actually fits it
+        max_l = b * 128 - 254
+        assert codec_pallas.win_rows_for(max_l) == b

@@ -83,3 +83,16 @@ def test_lowering_g_variants(monkeypatch, g):
     _lower(lambda w: codec_pallas._encode_fp32_device(w, shape), u32(shape))
     _lower(lambda s: codec_pallas._decode_fp32_device(s, shape),
            dec_spec(shape, 32))
+
+
+@pytest.mark.parametrize("win", list(codec_pallas.WIN_BUCKETS))
+def test_lowering_win_buckets(win):
+    """Every adaptive decode-window bucket lowers clean (flat + tiled,
+    both dtypes) — each (shape, G, win) combination is a distinct Mosaic
+    kernel."""
+    _lower(lambda s: codec_pallas._decode_fp32_device(s, (2**20,), win),
+           dec_spec((2**20,), 32))
+    _lower(lambda s: codec_pallas._decode_fp32_device(s, (128, 512), win),
+           dec_spec((128, 512), 32))
+    _lower(lambda s: codec_pallas._decode_fp64_device(s, (2**19,), win),
+           dec_spec((2**19,), 64))
