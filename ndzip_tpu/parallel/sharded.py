@@ -357,7 +357,11 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
                                 : header_u32 + end * word_u32]
 
     heads_n = fmt.HC_SIZE // wb
-    win = heads_n + fmt.HC_SIZE  # words per window
+    win = heads_n + fmt.HC_SIZE  # words per window (XLA path)
+    # Pallas path: adaptive window bucket from the largest block in the
+    # whole stream (one bucket for all shards = one compiled kernel)
+    kwin = codec_pallas.win_rows_for(
+        int(np.max(np.diff(offsets, prepend=0))) if num_hc else 0)
     local_hc = per_shard
     G = codec_pallas.G_DEC if wb == 32 else codec_pallas.G_DEC64
     nb_pad = (local_hc + G - 1) // G * G
@@ -378,7 +382,7 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
                 starts_abs = _pallas_starts(starts_local)
                 stream2d = sub.reshape(bound_local // 128, 128)
                 blocks = codec_pallas._decode_blocks_fp32(
-                    stream2d, starts_abs, dims, local_hc)[:local_hc]
+                    stream2d, starts_abs, dims, local_hc, kwin)[:local_hc]
             else:
                 idx = starts_local[:, None] + jnp.arange(win, dtype=jnp.int32)
                 idx = jnp.minimum(idx, bound_local - 1)
@@ -392,7 +396,7 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
                 stream2d = sub.reshape(bound_local // 128, 128)
                 starts_abs = _pallas_starts(starts_local)
                 b_lo, b_hi = codec_pallas._decode_blocks_fp64(
-                    stream2d, starts_abs, dims, local_hc)
+                    stream2d, starts_abs, dims, local_hc, kwin)
                 b_lo, b_hi = b_lo[:local_hc], b_hi[:local_hc]
             else:
                 widx = starts_local[:, None] + jnp.arange(win, dtype=jnp.int32)
