@@ -79,13 +79,23 @@ step warm_bench_fp64 7200 python -m ndzip_tpu.warm \
 step bench 10800 env NDZIP_TPU_BENCH_FULL=1 python bench.py
 step bench_repeat 5400 env NDZIP_TPU_BENCH_FULL=1 python bench.py
 
-# 4. Named BASELINE configs: CESM 2D unaligned minor (padded decode path),
-#    3D 256^3, fp64 1D.
-step cesm 3600 python dev/shape_probe.py --shape 1800x3600 --dtype float
-step cube3d 3600 python dev/shape_probe.py --shape 256x256x256 --dtype float
-step fp64_1d 3600 python dev/shape_probe.py --shape 8388608 --dtype double
+# 5. Named BASELINE configs: CESM 2D unaligned minor (padded decode path),
+#    3D 256^3, fp64 1D — at the same adaptive-window policy bench uses.
+step cesm 3600 env NDZIP_TPU_WIN_ROWS=adaptive python dev/shape_probe.py --shape 1800x3600 --dtype float
+step cube3d 3600 env NDZIP_TPU_WIN_ROWS=adaptive python dev/shape_probe.py --shape 256x256x256 --dtype float
+step fp64_1d 3600 env NDZIP_TPU_WIN_ROWS=adaptive python dev/shape_probe.py --shape 8388608 --dtype double
 
-# 5. Tile adapter variants (gather vs XOR butterfly) -> adoption decision.
+# 5b. Adaptive-window ablation (bucket vs worst case, same shape/G) and a
+#     larger decode grid batch: smaller windows shrink the VMEM window
+#     scratch, so G_DEC=48 may now fit where G=64/win=34 OOM'd.
+step win_adaptive 3600 env NDZIP_TPU_WIN_ROWS=adaptive NDZIP_TPU_G_DEC=32 python dev/shape_probe.py --shape 16777216 --dtype float
+step win_worst 3600 env NDZIP_TPU_G_DEC=32 python dev/shape_probe.py --shape 16777216 --dtype float
+step win_g48 5400 env NDZIP_TPU_WIN_ROWS=adaptive NDZIP_TPU_G_DEC=48 python dev/shape_probe.py --shape 16777216 --dtype float
+
+# 5c. Batched multi-GB 3D fp32 (BASELINE config 4 scale: 2 GiB).
+step big3d 5400 env NDZIP_TPU_WIN_ROWS=adaptive python dev/shape_probe.py --shape 512x512x2048 --dtype float
+
+# 6. Tile adapter variants (gather vs XOR butterfly) -> adoption decision.
 step tile_xpose 3600 python dev/tile_xpose_probe.py --g 16
 
 # 6. Encode pipeline floor + stage attribution with the new merge.

@@ -821,12 +821,11 @@ def chained_device_times(data, backend="pallas", chains=(10, 50)) -> tuple[int, 
         if wb == 32:
             dev_in = (jnp.asarray(data.view(np.uint32)),)
             enc = lambda w: cod._encode_fp32_device(w, shape)
-            dec = lambda s: cod._decode_fp32_device(s, shape)
         else:
             lo, hi = u64pair.split(data.view(np.uint64))
             dev_in = (jnp.asarray(lo), jnp.asarray(hi))
             enc = lambda l, h: cod._encode_fp64_device(l, h, shape)
-            dec = lambda s: cod._decode_fp64_device(s, shape)
+        dec = None  # window policy needs the stream header; set below
         pad_for_decode = lambda st: cod._pad_for_decode(st, shape, wb)
     elif backend == "xla":
         from . import codec_xla as cod
@@ -847,7 +846,21 @@ def chained_device_times(data, backend="pallas", chains=(10, 50)) -> tuple[int, 
         raise ValueError(f"chained timing needs a jitted backend, got {backend!r}")
 
     padded, length = enc(*dev_in)
-    stream_dev = jnp.asarray(pad_for_decode(np.asarray(padded[: int(length)])))
+    host_stream = np.asarray(padded[: int(length)])
+    stream_dev = jnp.asarray(pad_for_decode(host_stream))
+    if dec is None:
+        # decode window per the library policy (NDZIP_TPU_WIN_ROWS:
+        # unset = worst case, 'adaptive' = bucket from this stream's
+        # header, int = pinned)
+        from . import codec_pallas as cod
+
+        env_win = cod._win_from_env()
+        win = env_win if env_win is not None else cod.win_rows_for(
+            cod.max_block_words(host_stream, shape, wb))
+        if wb == 32:
+            dec = lambda s: cod._decode_fp32_device(s, shape, win)
+        else:
+            dec = lambda s: cod._decode_fp64_device(s, shape, win)
 
     def loops(chain):
         @jax.jit
