@@ -137,20 +137,41 @@ def compress_multihost(local_slab: np.ndarray, mesh=None) -> ShardStream:
             f"global shape {global_shape} has no whole hypercube blocks "
             f"(every axis must reach the side length {side}); all-border "
             "grids must use a single-host codec (api.make_compressor)")
-    if grid[0] % n_dev != 0:
+    if n_dev % nproc != 0:
         raise ValueError(
-            f"global block grid {grid} major axis not divisible by {n_dev} devices")
+            f"{n_dev} devices over {nproc} processes: unequal local device "
+            "counts are not supported")
     num_hc = fmt.num_hypercubes(global_shape)
-    per_shard = num_hc // n_dev
     header_u32 = fmt.header_u32_words(num_hc, wb)
+
+    # Split each process's slab over its local devices; when the slab's
+    # block-rows don't divide, pad the slab with zero block-rows so every
+    # device presents the same local shape (padded blocks' entries/bodies
+    # are dropped at assembly — same scheme as parallel/sharded.py).
+    d = n_dev // nproc
+    L = local_shape[0] // side           # block-rows per slab
+    L_pad = -(-L // d) * d
+    bpr = num_hc // grid[0]              # blocks per block-row
+    rows_pb = L_pad // d                 # padded block-rows per shard
+    per_shard = rows_pb * bpr
+    real_per_j = [max(0, min(L - j * rows_pb, rows_pb)) * bpr
+                  for j in range(d)]     # real blocks of local shard j
 
     # interior region of the local slab (axis 0 is block-aligned; borders
     # exist only along trailing axes + none on axis 0 within the slab)
     interior = tuple(slice(0, s // side * side) for s in local_shape)
-    shard_local_shape = (grid[0] // n_dev * side,) + tuple(g * side for g in grid[1:])
+    shard_local_shape = (rows_pb * side,) + tuple(g * side for g in grid[1:])
     bound_local_u32 = per_shard * fmt.Profile(wb, dims).compressed_block_length_bound * word_u32
 
-    host_words = _split_words(local_slab[interior], wb)
+    pad_rows = (L_pad - L) * side
+
+    def _pad0(w):
+        if pad_rows == 0:
+            return w
+        return np.concatenate(
+            [w, np.zeros((pad_rows,) + w.shape[1:], w.dtype)], axis=0)
+
+    host_words = tuple(_pad0(w) for w in _split_words(local_slab[interior], wb))
 
     def shard_fn(words):
         if wb == 32:
@@ -183,24 +204,34 @@ def compress_multihost(local_slab: np.ndarray, mesh=None) -> ShardStream:
     body_local = {
         _shard_index(mesh, s): np.asarray(s.data).reshape(-1)
         for s in bodies_g.addressable_shards}
+
+    # real (non-pad) body lengths in u32 units, host-derived from the
+    # last real block's cumulative offset
+    my_shards = sorted(ent_local)
+
+    def _real(k):
+        return real_per_j[k % d]
+
     blen_local = np.asarray(
-        [int(np.asarray(s.data).reshape(-1)[0])
-         for _, s in sorted(((_shard_index(mesh, s), s)
-                             for s in blens_g.addressable_shards))], np.int64)
+        [int(ent_local[k][_real(k) - 1]) * word_u32 if _real(k) else 0
+         for k in my_shards], np.int64)
 
     # DCN exchange: per-shard body lengths (u32 units) -> global offsets
     all_blens = multihost_utils.process_allgather(blen_local).reshape(-1)
     shard_body_off = np.concatenate([[0], np.cumsum(all_blens)[:-1]])
 
-    # assemble this process's contiguous spans
-    my_shards = sorted(ent_local)
-    first, last = my_shards[0], my_shards[-1]
+    # assemble this process's contiguous spans (padded blocks dropped)
+    first = my_shards[0]
     entries_parts, body_parts = [], []
     for k in my_shards:
+        rk = _real(k)
+        if rk == 0:
+            continue
         entries_parts.append(
-            ent_local[k] + np.uint32(shard_body_off[k] // word_u32))
+            ent_local[k][:rk] + np.uint32(shard_body_off[k] // word_u32))
         body_parts.append(body_local[k][: all_blens[k]])
-    header_entries = np.concatenate(entries_parts)
+    header_entries = (np.concatenate(entries_parts) if entries_parts
+                      else np.zeros(0, np.uint32))
     body = np.concatenate(body_parts) if body_parts else np.zeros(0, np.uint32)
 
     # border span: per-slab borders are process-contiguous (module note)
@@ -214,7 +245,7 @@ def compress_multihost(local_slab: np.ndarray, mesh=None) -> ShardStream:
         process_id=pid,
         num_processes=nproc,
         header_entries=header_entries.astype(np.uint32),
-        entry_offset=first * per_shard,
+        entry_offset=pid * L * bpr,
         num_hc_global=num_hc,
         header_u32=header_u32,
         body_u32=body,

@@ -40,6 +40,12 @@ WORKER = textwrap.dedent("""
         shape, dtype = (nproc * 128, 200), np.float32
         import jax
         assert jax.local_device_count() == 2, jax.local_device_count()
+    elif case == "f32_2d_uneven":
+        # 3 block-rows per slab over 2 local devices: padded-shard encode
+        # (trailing shard carries a zero block-row dropped at assembly)
+        shape, dtype = (nproc * 192, 200), np.float32
+        import jax
+        assert jax.local_device_count() == 2, jax.local_device_count()
     else:
         raise SystemExit(f"unknown case {{case}}")
 
@@ -74,7 +80,8 @@ def _free_port():
 
 
 @pytest.mark.parametrize("case,nproc", [
-    ("f32_2d", 2), ("f64_3d", 2), ("f32_2d", 4), ("f32_2d_localmesh", 2)])
+    ("f32_2d", 2), ("f64_3d", 2), ("f32_2d", 4), ("f32_2d_localmesh", 2),
+    ("f32_2d_uneven", 2)])
 def test_multihost_bit_exact(tmp_path, case, nproc):
     port = _free_port()
     script = tmp_path / "worker.py"
@@ -83,7 +90,8 @@ def test_multihost_bit_exact(tmp_path, case, nproc):
     env.pop("XLA_FLAGS", None)
     # localmesh: multiple devices per process so the slab decode shards
     # over the process-local mesh (parallel/multihost.py decode routing)
-    env["JAX_NUM_CPU_DEVICES"] = "2" if case.endswith("localmesh") else "1"
+    env["JAX_NUM_CPU_DEVICES"] = (
+        "2" if case.endswith(("localmesh", "uneven")) else "1")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), str(nproc), str(port),
