@@ -320,6 +320,17 @@ def compress_to_file(local_slab: np.ndarray, path: str, mesh=None) -> int:
     return shard.total_u32
 
 
+def decompress_from_file(path: str, global_shape, dtype, mesh=None):
+    """Collective: decode this process's slab straight from a stream file
+    with O(shard) IO — the read-side analog of ``write_to_file``.  The
+    file is memory-mapped, so each process faults in only the pages its
+    header span, body span and border span touch (the offset table gives
+    random access, like the reference's block-offset reads,
+    cuda_codec.inl:290-297); no process materializes the whole stream."""
+    stream = np.memmap(path, dtype=np.uint32, mode="r")
+    return decompress_multihost(stream, global_shape, dtype, mesh)
+
+
 def decompress_multihost(stream: np.ndarray, global_shape, dtype,
                          mesh=None) -> np.ndarray:
     """Collective: every process passes the full stream (e.g. read from a

@@ -63,6 +63,9 @@ WORKER = textwrap.dedent("""
         np.fromfile(path, np.uint32), shape, dtype)
     assert np.array_equal(out_slab.view(np.uint8), slab.view(np.uint8)), \
         f"proc {{pid}}: decompress_multihost mismatch"
+    out_slab2 = multihost.decompress_from_file(path, shape, dtype)
+    assert np.array_equal(out_slab2.view(np.uint8), slab.view(np.uint8)), \
+        f"proc {{pid}}: decompress_from_file mismatch"
 
     if pid == 0:
         np.save(os.path.join(tmp, "gathered.npy"), stream)
