@@ -64,12 +64,16 @@ for shape, dt in [((4096*8+100,), np.float32), ((128,512), np.float32),
 step smoke 3600 env NDZIP_TPU_TESTS_TPU=1 python -m pytest tests/test_tpu_smoke.py -x -q
 
 # 3. Warm the compile cache for every shape bench.py touches, at bench's
-#    exact G knobs (G_ENC default, G_DEC=32 fp32 / default fp64), so the
-#    driver's later default-mode bench run starts from a hot cache.
-step warm_bench_shapes 7200 env NDZIP_TPU_G_DEC=32 python -m ndzip_tpu.warm \
-    --shapes 16777216 1800x3600 256x256x256 --dtype float
-step warm_bench_fp64 7200 python -m ndzip_tpu.warm \
-    --shapes 8388608 512x512x512 --dtype double
+#    exact G knobs (G_ENC default, G_DEC=32 fp32 / default fp64).  bench
+#    decodes at ADAPTIVE window buckets; --win-rows pre-compiles the
+#    bucket the smooth synthetic data most likely lands in (22 fp32 at
+#    ratio ~0.6, 26 fp64) on top of the worst-case default — any bucket
+#    missed here is compiled by the bench step itself and cached for the
+#    driver's later default run.
+step warm_bench_shapes 10800 env NDZIP_TPU_G_DEC=32 python -m ndzip_tpu.warm \
+    --shapes 16777216 1800x3600 256x256x256 --dtype float --win-rows 22
+step warm_bench_fp64 10800 python -m ndzip_tpu.warm \
+    --shapes 8388608 512x512x512 --dtype double --win-rows 26
 
 # 4. Headline bench (fp32 1D enc+dec + CESM + 256^3 by default; FULL adds
 #    fp64 512^3).  bench picks adaptive decode-window buckets from each
@@ -97,6 +101,9 @@ step big3d 5400 env NDZIP_TPU_WIN_ROWS=adaptive python dev/shape_probe.py --shap
 
 # 6. Tile adapter variants (gather vs XOR butterfly) -> adoption decision.
 step tile_xpose 3600 python dev/tile_xpose_probe.py --g 16
+
+# 5d. Offloader timing paths on silicon (device-fenced + measure()).
+step offloader 2400 python dev/offloader_probe.py --mb 16
 
 # 6. Encode pipeline floor + stage attribution with the new merge.
 step enc_floor 3600 python dev/enc_floor_probe.py --g 8

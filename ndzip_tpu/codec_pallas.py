@@ -842,13 +842,19 @@ def max_block_words(stream, shape, wb: int) -> int:
 def _win_from_env() -> int | None:
     """NDZIP_TPU_WIN_ROWS: unset -> worst-case WIN_ROWS (no extra compile
     variants); 'adaptive' -> pick the bucket from each stream's header;
-    an integer pins a fixed window row count."""
+    an integer pins a fixed window row count (2..WIN_ROWS — larger would
+    DMA past the decode padding; the host decompress() additionally
+    rejects a pinned window smaller than the stream's largest block)."""
     v = os.environ.get("NDZIP_TPU_WIN_ROWS", "").strip().lower()
     if not v:
         return WIN_ROWS
     if v == "adaptive":
         return None
-    return int(v)
+    iv = int(v)
+    if not 2 <= iv <= WIN_ROWS:
+        raise ValueError(
+            f"NDZIP_TPU_WIN_ROWS={iv} outside [2, {WIN_ROWS}]")
+    return iv
 
 
 def rotate_rows_to_offset(comp_planes, j, can):
@@ -1966,10 +1972,19 @@ def decompress(stream: np.ndarray, shape, dtype, win=None) -> np.ndarray:
     dtype = np.dtype(dtype)
     wb = fmt.word_bits_for_dtype(dtype)
     stream = np.asarray(stream)
+    mbw = max_block_words(stream, shape, wb)
+    need = (mbw + 2 * (LANES - 1)) // LANES
     if win is None:
         win = _win_from_env()
         if win is None:  # NDZIP_TPU_WIN_ROWS=adaptive: bucket from header
-            win = win_rows_for(max_block_words(stream, shape, wb))
+            win = win_rows_for(mbw)
+    if not 2 <= win <= WIN_ROWS:
+        raise ValueError(f"win={win} outside [2, {WIN_ROWS}]")
+    if win < need:
+        raise ValueError(
+            f"decode window of {win} rows cannot cover this stream's "
+            f"largest block ({need} rows needed) — output would be "
+            "silently corrupt")
     padded = _pad_for_decode(stream, shape, wb)
     if wb == 64:
         from .ops import u64pair

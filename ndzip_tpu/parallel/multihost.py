@@ -161,29 +161,22 @@ def compress_multihost(local_slab: np.ndarray, mesh=None) -> ShardStream:
     # exist only along trailing axes + none on axis 0 within the slab)
     interior = tuple(slice(0, s // side * side) for s in local_shape)
     shard_local_shape = (rows_pb * side,) + tuple(g * side for g in grid[1:])
-    bound_local_u32 = per_shard * fmt.Profile(wb, dims).compressed_block_length_bound * word_u32
 
     pad_rows = (L_pad - L) * side
-
-    def _pad0(w):
-        if pad_rows == 0:
-            return w
-        return np.concatenate(
-            [w, np.zeros((pad_rows,) + w.shape[1:], w.dtype)], axis=0)
-
-    host_words = tuple(_pad0(w) for w in _split_words(local_slab[interior], wb))
+    host_words = tuple(sharded._pad_block_rows(w, pad_rows)
+                       for w in _split_words(local_slab[interior], wb))
 
     def shard_fn(words):
         if wb == 32:
             w = words[0].reshape(shard_local_shape)
-            entries, body, blen = sharded._local_encode_parts(
+            entries, body, _ = sharded._local_encode_parts(
                 w, shard_local_shape, dims, wb)
         else:
             lo = words[0].reshape(shard_local_shape)
             hi = words[1].reshape(shard_local_shape)
-            entries, body, blen = sharded._local_encode_parts(
+            entries, body, _ = sharded._local_encode_parts(
                 (lo, hi), shard_local_shape, dims, wb)
-        return entries, body, blen.reshape(1)
+        return entries, body
 
     sharding = NamedSharding(mesh, P(axis))
     global_in = tuple(
@@ -193,9 +186,9 @@ def compress_multihost(local_slab: np.ndarray, mesh=None) -> ShardStream:
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(tuple(P(axis) for _ in global_in),),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
         check_vma=False)  # pallas_call outputs carry no vma annotation
-    entries_g, bodies_g, blens_g = jax.jit(mapped)(global_in)
+    entries_g, bodies_g = jax.jit(mapped)(global_in)
 
     # local (addressable) results, in global shard order
     ent_local = {  # shard index -> numpy

@@ -65,6 +65,15 @@ def _shard_grid(shape, n_shards):
     return per_shard, rows_pb, real
 
 
+def _pad_block_rows(w, pad_rows):
+    """Append pad_rows zero rows along axis 0 (zero-padded trailing shard
+    blocks for uneven grids; used by both parallel layers)."""
+    if pad_rows == 0:
+        return w
+    return np.concatenate(
+        [w, np.zeros((pad_rows,) + w.shape[1:], w.dtype)], axis=0)
+
+
 def _use_pallas() -> bool:
     """Per-shard kernels: fused Pallas on TPU, XLA elsewhere (including the
     virtual CPU meshes used in tests and multi-chip dry runs)."""
@@ -236,38 +245,34 @@ def compress_sharded(data, mesh: Mesh):
     local_shape = (rows_per_shard,) + tuple(g * side for g in grid[1:])
     bound_local_u32 = per_shard * fmt.Profile(wb, dims).compressed_block_length_bound * (wb // 32)
 
-    def _pad0(w):
-        if pad_rows == 0:
-            return w
-        return np.concatenate(
-            [w, np.zeros((pad_rows,) + w.shape[1:], w.dtype)], axis=0)
-
     def shard_fn(words):
         if wb == 32:
             w = words[0].reshape(local_shape)
-            entries, body, blen = _local_encode_parts(w, local_shape, dims, wb)
+            entries, body, _ = _local_encode_parts(w, local_shape, dims, wb)
         else:
             lo = words[0].reshape(local_shape)
             hi = words[1].reshape(local_shape)
-            entries, body, blen = _local_encode_parts((lo, hi), local_shape, dims, wb)
-        return entries, body, blen.reshape(1)
+            entries, body, _ = _local_encode_parts((lo, hi), local_shape, dims, wb)
+        return entries, body
 
     if dtype == np.float32:
-        host_words = (_pad0(np.ascontiguousarray(data).view(np.uint32)[interior]),)
+        host_words = (_pad_block_rows(
+            np.ascontiguousarray(data).view(np.uint32)[interior], pad_rows),)
     else:
         w64 = np.ascontiguousarray(data).view(np.uint64)[interior]
         lo, hi = u64pair.split(np.ascontiguousarray(w64))
-        host_words = (_pad0(lo), _pad0(hi))
+        host_words = (_pad_block_rows(lo, pad_rows),
+                      _pad_block_rows(hi, pad_rows))
 
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(tuple(P(axis) for _ in host_words),),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
         check_vma=False)  # pallas_call outputs carry no vma annotation
 
     sharded_in = tuple(
         jax.device_put(w, NamedSharding(mesh, P(axis))) for w in host_words)
-    entries, bodies, _blens = jax.jit(mapped)(sharded_in)
+    entries, bodies = jax.jit(mapped)(sharded_in)
 
     # global assembly (host side — the stream is a host artifact).  Padded
     # blocks sit after each shard's real blocks, so dropping them is a

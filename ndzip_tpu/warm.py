@@ -99,11 +99,12 @@ def run(argv=None) -> int:
             data = np.zeros(shape, dtype)
             stream, _ = codec.compress(data)
             t1 = time.perf_counter()
+            out = codec.decompress(stream, shape, dtype)
             if args.win_rows is not None and hasattr(codec, "WIN_BUCKETS"):
+                # additionally warm the requested adaptive bucket (the
+                # default warm above covers the worst-case window)
                 out = codec.decompress(stream, shape, dtype,
                                        win=args.win_rows)
-            else:
-                out = codec.decompress(stream, shape, dtype)
             t2 = time.perf_counter()
             ok = np.array_equal(out.view(np.uint8).reshape(-1),
                                 data.view(np.uint8).reshape(-1))

@@ -143,3 +143,10 @@ def test_win_rows_for_buckets():
         # the largest block a bucket claims to cover actually fits it
         max_l = b * 128 - 254
         assert codec_pallas.win_rows_for(max_l) == b
+
+
+def test_decompress_rejects_undersized_win():
+    data = RNG.standard_normal(4096).astype(np.float32)  # incompressible
+    g, _ = golden.compress(data)
+    with pytest.raises(ValueError, match="cannot cover"):
+        codec_pallas.decompress(g, data.shape, np.float32, win=2)
