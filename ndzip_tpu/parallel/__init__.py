@@ -2,4 +2,5 @@ from .sharded import (  # noqa: F401
     make_mesh,
     compress_sharded,
     decompress_sharded,
+    decompress_sharded_device,
 )

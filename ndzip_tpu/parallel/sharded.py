@@ -304,14 +304,11 @@ def compress_sharded(data, mesh: Mesh):
     return stream, stream.size // word_u32
 
 
-def decompress_sharded(stream, shape, dtype, mesh: Mesh):
-    """Block-parallel decode: each shard random-accesses ONLY its own block
-    range.  The offset table (stream header) is sliced on the host into
-    per-shard rebased sub-streams — the distributed analog of the
-    reference's random block access via header offsets
-    (cuda_codec.inl:290-297) — so every device holds O(its shard) of the
-    compressed stream, never a replica of the whole (VERDICT r2 missing #3).
-    """
+def _decode_shards(stream, shape, dtype, mesh: Mesh):
+    """Shared decode core: slice per-shard sub-streams, run the shard_map
+    decode, return (out_local, offsets, header_u32) where out_local is the
+    global device array in padded-shard layout ((n*rows_per_shard,) +
+    interior trailing dims [+ (2,) u32 planes for fp64])."""
     from jax import shard_map
     from .. import codec_xla
 
@@ -422,6 +419,28 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
     sub_sh = NamedSharding(mesh, P(axis))
     out_local = jax.jit(mapped)(
         jax.device_put(subs, sub_sh), jax.device_put(starts_all, sub_sh))
+    return out_local, offsets, header_u32
+
+
+def decompress_sharded(stream, shape, dtype, mesh: Mesh):
+    """Block-parallel decode to a HOST array: each shard random-accesses
+    ONLY its own block range.  The offset table (stream header) is sliced
+    on the host into per-shard rebased sub-streams — the distributed
+    analog of the reference's random block access via header offsets
+    (cuda_codec.inl:290-297) — so every device holds O(its shard) of the
+    compressed stream, never a replica of the whole."""
+    shape = tuple(shape)
+    dtype = np.dtype(dtype)
+    wb = fmt.word_bits_for_dtype(dtype)
+    n = mesh.devices.size
+    stream = np.asarray(stream)
+    out_local, offsets, header_u32 = _decode_shards(stream, shape, dtype, mesh)
+
+    num_hc = fmt.num_hypercubes(shape)
+    _, rows_pb, _ = _shard_grid(shape, n)
+    side = fmt.SIDE_LENGTH[len(shape)]
+    grid = fmt.grid_shape(shape)
+    rows_per_shard = rows_pb * side
 
     # assemble on host: interior (padded shard rows dropped) + border
     word_dt = np.uint32 if wb == 32 else np.uint64
@@ -445,6 +464,80 @@ def decompress_sharded(stream, shape, dtype, mesh: Mesh):
         flat[off : off + cnt] = np.ascontiguousarray(chunk).view(word_dt)
         bpos += cnt * (wb // 32)
     return flat.reshape(shape).view(dtype)
+
+
+def decompress_sharded_device(stream, shape, dtype, mesh: Mesh):
+    """Block-parallel decode whose OUTPUT STAYS ON THE MESH — the serving
+    path: a consumer (e.g. a training step reading compressed checkpoint
+    or dataset shards) gets a ``jax.Array`` sharded over ``mesh``'s axis
+    with no host round-trip of the decoded bytes.  Interior rearrangement
+    and the (tiny) border scatter run device-side under jit; only the
+    border words and per-shard sub-streams are staged from the host.
+
+    Returns a uint32/float32 array of ``shape`` for 32-bit dtypes, or a
+    ``(lo, hi)`` uint32 plane tuple for fp64 (TPUs have no 64-bit lanes;
+    join on host via ops.u64pair when needed)."""
+    import functools
+
+    from .. import codec_pallas
+
+    shape = tuple(shape)
+    dtype = np.dtype(dtype)
+    wb = fmt.word_bits_for_dtype(dtype)
+    dims = len(shape)
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    stream = np.asarray(stream)
+    out_local, offsets, header_u32 = _decode_shards(stream, shape, dtype, mesh)
+
+    num_hc = fmt.num_hypercubes(shape)
+    _, rows_pb, _ = _shard_grid(shape, n)
+    side = fmt.SIDE_LENGTH[dims]
+    grid = fmt.grid_shape(shape)
+    rows_per_shard = rows_pb * side
+    int_rows = grid[0] * side
+    trailing = tuple(g * side for g in grid[1:])
+    word_u32 = wb // 32
+
+    # border words (tiny, replicated) + their N-D scatter coordinates
+    body_total = int(offsets[-1]) if num_hc else 0
+    bpos = header_u32 + body_total * word_u32
+    bcnt = fmt.border_element_count(shape)
+    border_u32 = stream[bpos : bpos + bcnt * word_u32]
+    nd = codec_pallas._border_nd(shape) if bcnt else None
+
+    # jit out_shardings need dim-0 divisibility; for ragged shapes let
+    # GSPMD place the output (still mesh-distributed, partial last shard)
+    jit_kw = {}
+    if shape[0] % n == 0:
+        out_sh = NamedSharding(mesh, P(axis))
+        jit_kw["out_shardings"] = (out_sh, out_sh) if wb == 64 else out_sh
+
+    @functools.partial(jax.jit, **jit_kw)
+    def assemble(ol, bv):
+        origin = (0,) * dims
+        if wb == 32:
+            interior = ol.reshape((n * rows_per_shard,) + trailing)[:int_rows]
+            full = jnp.zeros(shape, jnp.uint32)
+            full = jax.lax.dynamic_update_slice(full, interior, origin)
+            if bcnt:
+                full = full.at[nd].set(bv)
+            return full
+        pairs = ol.reshape((n * rows_per_shard,) + trailing + (2,))[:int_rows]
+        flo = jax.lax.dynamic_update_slice(
+            jnp.zeros(shape, jnp.uint32), pairs[..., 0], origin)
+        fhi = jax.lax.dynamic_update_slice(
+            jnp.zeros(shape, jnp.uint32), pairs[..., 1], origin)
+        if bcnt:
+            bp = bv.reshape(-1, 2)
+            flo = flo.at[nd].set(bp[:, 0])
+            fhi = fhi.at[nd].set(bp[:, 1])
+        return flo, fhi
+
+    out = assemble(out_local, jnp.asarray(border_u32))
+    if wb == 32 and dtype == np.float32:
+        out = jax.lax.bitcast_convert_type(out, jnp.float32)
+    return out
 
 
 def _decode_windows_xla32(windows, dims):

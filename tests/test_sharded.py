@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 
 from ndzip_tpu import golden
-from ndzip_tpu.parallel import compress_sharded, decompress_sharded, make_mesh
+from ndzip_tpu.parallel import (
+    compress_sharded,
+    decompress_sharded,
+    decompress_sharded_device,
+    make_mesh,
+)
 
 RNG = np.random.default_rng(5)
 
@@ -74,3 +79,29 @@ def test_sharded_rejects_all_border(mesh8):
     data = RNG.standard_normal((7, 70)).astype(np.float32)  # no whole blocks
     with pytest.raises(ValueError):
         compress_sharded(data, mesh8)
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((4096 * 16 + 33,), np.float32),      # border + even grid
+    ((4096 * 7 + 17, 130), np.float32),   # uneven grid, minor border
+    ((128, 64, 33), np.float64),          # fp64 planes + border
+])
+def test_sharded_device_resident_decode(mesh8, shape, dtype):
+    """decompress_sharded_device: output stays a mesh-sharded jax.Array
+    (no host assembly), values bit-exact vs golden."""
+    import jax
+
+    data = RNG.standard_normal(shape).astype(dtype)
+    data.reshape(-1)[:100] = 0
+    stream, _ = golden.compress(data)
+    out = decompress_sharded_device(stream, shape, dtype, mesh8)
+    if dtype == np.float64:
+        lo, hi = out
+        assert isinstance(lo, jax.Array) and len(lo.sharding.device_set) == 8
+        from ndzip_tpu.ops import u64pair
+        joined = u64pair.join(np.asarray(lo), np.asarray(hi))
+        assert np.array_equal(joined, data.view(np.uint64))
+    else:
+        assert isinstance(out, jax.Array) and len(out.sharding.device_set) == 8
+        assert np.array_equal(np.asarray(out).view(np.uint32),
+                              data.view(np.uint32))
