@@ -304,6 +304,125 @@ def compress_sharded(data, mesh: Mesh):
     return stream, stream.size // word_u32
 
 
+def compress_sharded_device(data, mesh: Mesh):
+    """Device-resident block-parallel compress: input, per-shard encode and
+    stream assembly all stay on the mesh — the scale-out analog of
+    ``api.compress_device`` (cuda.hh:10-41) for compressing an array a JAX
+    program already holds sharded (e.g. before a DCN transfer or a
+    checkpoint write).
+
+    ``data``: a float32/uint32 ``jax.Array`` (any sharding; resharded to
+    the block axis under jit) or a ``(lo, hi)`` uint32 plane tuple for
+    fp64 payloads.  Returns ``(stream, length)`` device arrays;
+    ``stream[:length]`` is byte-identical to every other backend's output
+    (words past ``length`` are unspecified — the per-shard bound slack)."""
+    import functools
+
+    from jax import shard_map
+
+    if isinstance(data, tuple):
+        lo, hi = data
+        shape = tuple(lo.shape)
+        wb = 64
+        words_in = (lo, hi)
+    else:
+        shape = tuple(data.shape)
+        wb = 32
+        if data.dtype == jnp.float32:
+            data = jax.lax.bitcast_convert_type(data, jnp.uint32)
+        words_in = (data,)
+    fmt.validate_shape(shape)
+    dims = len(shape)
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    num_hc = fmt.num_hypercubes(shape)
+    per_shard, rows_pb, real = _shard_grid(shape, n)
+    side = fmt.SIDE_LENGTH[dims]
+    grid = fmt.grid_shape(shape)
+    rows_per_shard = rows_pb * side
+    pad_rows = rows_pb * n * side - grid[0] * side
+    interior_shape = tuple(g * side for g in grid)
+    local_shape = (rows_per_shard,) + interior_shape[1:]
+    word_u32 = wb // 32
+    bound_local_u32 = (per_shard
+                       * fmt.Profile(wb, dims).compressed_block_length_bound
+                       * word_u32)
+    header_u32 = fmt.header_u32_words(num_hc, wb)
+    bound_u32 = fmt.compressed_bound_u32(shape, wb)
+    from .. import codec_pallas
+
+    border_idx = codec_pallas._border_indices(shape)
+    # absorb the last shard's padded-body tail + decode window slack
+    out_size = bound_u32 + bound_local_u32 + word_u32 * codec_pallas.WIN_ROWS * 128
+
+    def shard_fn(words):
+        if wb == 32:
+            entries, body, _ = _local_encode_parts(
+                words[0].reshape(local_shape), local_shape, dims, wb)
+        else:
+            entries, body, _ = _local_encode_parts(
+                (words[0].reshape(local_shape), words[1].reshape(local_shape)),
+                local_shape, dims, wb)
+        return entries, body
+
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(tuple(P(axis) for _ in words_in),),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False)  # pallas_call outputs carry no vma annotation
+    sh = NamedSharding(mesh, P(axis))
+
+    @functools.partial(jax.jit)
+    def run(words):
+        ws = []
+        for w in words:
+            wi = jax.lax.slice(w, (0,) * dims, interior_shape)
+            if pad_rows:
+                wi = jnp.concatenate(
+                    [wi, jnp.zeros((pad_rows,) + interior_shape[1:],
+                                   jnp.uint32)], axis=0)
+            ws.append(jax.lax.with_sharding_constraint(wi, sh))
+        entries, bodies = mapped(tuple(ws))
+        ent = entries.reshape(n, per_shard)
+        bodies = bodies.reshape(n, bound_local_u32)
+
+        # real (non-pad) per-shard word lengths -> exclusive word offsets
+        wlens = jnp.stack(
+            [jax.lax.bitcast_convert_type(ent[k, real[k] - 1], jnp.int32)
+             if real[k] else jnp.int32(0) for k in range(n)])
+        cum = jnp.cumsum(wlens) - wlens              # exclusive, words
+        total_words = cum[n - 1] + wlens[n - 1]
+
+        out = jnp.zeros(out_size, jnp.uint32)
+        header = jnp.concatenate(
+            [ent[k, : real[k]] + cum[k].astype(jnp.uint32)
+             for k in range(n) if real[k]])
+        out = jax.lax.dynamic_update_slice(out, header, (0,))
+        # ascending body writes: shard k's padded tail is overwritten by
+        # shard k+1's span; the last tail lands past `length` (unspecified)
+        for k in range(n):
+            if not real[k]:
+                continue
+            out = jax.lax.dynamic_update_slice(
+                out, bodies[k], (header_u32 + cum[k] * word_u32,))
+        border_words = jnp.int32(0)
+        if border_idx.size:
+            idx = jnp.asarray(border_idx)
+            if wb == 32:
+                bv = words[0].reshape(-1)[idx]
+            else:
+                bl = words[0].reshape(-1)[idx]
+                bh = words[1].reshape(-1)[idx]
+                bv = jnp.stack([bl, bh], axis=-1).reshape(-1)
+            out = jax.lax.dynamic_update_slice(
+                out, bv, (header_u32 + total_words * word_u32,))
+            border_words = jnp.int32(bv.shape[0])
+        length = header_u32 + total_words * word_u32 + border_words
+        return out, length
+
+    return run(words_in)
+
+
 def _decode_shards(stream, shape, dtype, mesh: Mesh):
     """Shared decode core: slice per-shard sub-streams, run the shard_map
     decode, return (out_local, offsets, header_u32) where out_local is the

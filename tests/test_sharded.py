@@ -8,6 +8,7 @@ import pytest
 from ndzip_tpu import golden
 from ndzip_tpu.parallel import (
     compress_sharded,
+    compress_sharded_device,
     decompress_sharded,
     decompress_sharded_device,
     make_mesh,
@@ -105,3 +106,29 @@ def test_sharded_device_resident_decode(mesh8, shape, dtype):
         assert isinstance(out, jax.Array) and len(out.sharding.device_set) == 8
         assert np.array_equal(np.asarray(out).view(np.uint32),
                               data.view(np.uint32))
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((4096 * 16 + 33,), np.float32),
+    ((4096 * 7 + 17, 130), np.float32),   # uneven grid
+    ((128, 64, 33), np.float64),
+])
+def test_sharded_device_resident_encode(mesh8, shape, dtype):
+    """compress_sharded_device: jax.Array in, device stream out,
+    stream[:length] byte-identical to golden."""
+    import jax.numpy as jnp
+
+    from ndzip_tpu.ops import u64pair
+
+    data = RNG.standard_normal(shape).astype(dtype)
+    data.reshape(-1)[:100] = 0
+    expect, elen = golden.compress(data)
+    if dtype == np.float64:
+        lo, hi = u64pair.split(data.view(np.uint64))
+        dev = (jnp.asarray(lo), jnp.asarray(hi))
+    else:
+        dev = jnp.asarray(data)
+    stream, length = compress_sharded_device(dev, mesh8)
+    length = int(length)
+    assert length == expect.size
+    assert np.asarray(stream[:length]).tobytes() == expect.tobytes()
