@@ -10,7 +10,8 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
-@pytest.mark.parametrize("script", ["01_roundtrip.py", "04_file_streams.py"])
+@pytest.mark.parametrize("script", ["01_roundtrip.py", "04_file_streams.py",
+                                    "05_serving_path.py"])
 def test_example_runs(script):
     res = subprocess.run(
         [sys.executable, str(REPO / "examples" / script)],
