@@ -132,3 +132,20 @@ def test_sharded_device_resident_encode(mesh8, shape, dtype):
     length = int(length)
     assert length == expect.size
     assert np.asarray(stream[:length]).tobytes() == expect.tobytes()
+
+
+@pytest.mark.parametrize("n_dev", [3, 5])
+def test_sharded_odd_mesh_sizes(n_dev):
+    """Uneven grids over non-power-of-two meshes (3, 5 shards): the
+    padded-shard math must hold for any shard count."""
+    devs = jax.devices()
+    if len(devs) < n_dev:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(devs[:n_dev])
+    shape = (4096 * 7 + 5,)  # 7 block-rows over 3/5 shards
+    data = RNG.standard_normal(shape).astype(np.float32)
+    expect, elen = golden.compress(data)
+    stream, length = compress_sharded(data, mesh)
+    assert length == elen and stream.tobytes() == expect.tobytes()
+    out = decompress_sharded(stream, shape, np.float32, mesh)
+    assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
