@@ -60,9 +60,11 @@ win = codec_pallas.win_rows_for(mbw)
 print(f"largest block {mbw} words -> decode window bucket {win} rows "
       f"(worst case {codec_pallas.WIN_ROWS})")
 
-# ---- decompress back to a mesh-sharded jax.Array (no host assembly)
-out_dev = decompress_sharded_device(np.asarray(stream_dev[:length]),
-                                    shape, np.float32, mesh)
+# ---- decompress back to a mesh-sharded jax.Array: the device stream is
+# sliced into per-shard sub-streams ON DEVICE (only the offset table is
+# read host-side, to pick the static decode-window bucket)
+out_dev = decompress_sharded_device(stream_dev[:length], shape,
+                                    np.float32, mesh)
 assert isinstance(out_dev, jax.Array)
 print("decoded sharding devices:", len(out_dev.sharding.device_set))
 assert np.array_equal(np.asarray(out_dev).view(np.uint32),

@@ -245,15 +245,7 @@ def compress_sharded(data, mesh: Mesh):
     local_shape = (rows_per_shard,) + tuple(g * side for g in grid[1:])
     bound_local_u32 = per_shard * fmt.Profile(wb, dims).compressed_block_length_bound * (wb // 32)
 
-    def shard_fn(words):
-        if wb == 32:
-            w = words[0].reshape(local_shape)
-            entries, body, _ = _local_encode_parts(w, local_shape, dims, wb)
-        else:
-            lo = words[0].reshape(local_shape)
-            hi = words[1].reshape(local_shape)
-            entries, body, _ = _local_encode_parts((lo, hi), local_shape, dims, wb)
-        return entries, body
+    shard_fn = _encode_shard_fn(local_shape, dims, wb)
 
     if dtype == np.float32:
         host_words = (_pad_block_rows(
@@ -304,6 +296,35 @@ def compress_sharded(data, mesh: Mesh):
     return stream, stream.size // word_u32
 
 
+# --------------------------------------------------------------- shared cores
+#
+# The device-resident entry points are jitted per static configuration and
+# memoized here — jax.jit caches by function identity, so rebuilding the
+# closures each call would re-trace/re-compile every step of a serving loop.
+_JIT_CACHE: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (tuple(mesh.axis_names), tuple(d.id for d in mesh.devices.flat))
+
+
+def _encode_shard_fn(local_shape, dims, wb):
+    """Per-shard encode body shared by every sharded-compress flavor
+    (host, device-resident, multihost)."""
+
+    def shard_fn(words):
+        if wb == 32:
+            entries, body, _ = _local_encode_parts(
+                words[0].reshape(local_shape), local_shape, dims, wb)
+        else:
+            entries, body, _ = _local_encode_parts(
+                (words[0].reshape(local_shape), words[1].reshape(local_shape)),
+                local_shape, dims, wb)
+        return entries, body
+
+    return shard_fn
+
+
 def compress_sharded_device(data, mesh: Mesh):
     """Device-resident block-parallel compress: input, per-shard encode and
     stream assembly all stay on the mesh — the scale-out analog of
@@ -313,25 +334,47 @@ def compress_sharded_device(data, mesh: Mesh):
 
     ``data``: a float32/uint32 ``jax.Array`` (any sharding; resharded to
     the block axis under jit) or a ``(lo, hi)`` uint32 plane tuple for
-    fp64 payloads.  Returns ``(stream, length)`` device arrays;
-    ``stream[:length]`` is byte-identical to every other backend's output
-    (words past ``length`` are unspecified — the per-shard bound slack)."""
-    import functools
+    fp64 payloads (TPUs have no 64-bit lanes; see ops/u64pair).
 
-    from jax import shard_map
-
+    Returns ``(stream, length)`` device arrays.  ``length`` counts
+    **uint32 words** (the stream array's own unit, matching
+    ``api.compress_device``; the host-path ``compress_sharded`` returns
+    profile words — u64 counts for fp64).  ``stream[:length]`` is
+    byte-identical to every other backend's output; words past ``length``
+    are unspecified (per-shard bound slack from the ascending overwrite
+    assembly).  The jitted program is cached per (shape, dtype, mesh)."""
     if isinstance(data, tuple):
         lo, hi = data
+        if lo.dtype != jnp.uint32 or hi.dtype != jnp.uint32:
+            raise ValueError(
+                "fp64 sharded device compress takes (lo, hi) uint32 planes")
         shape = tuple(lo.shape)
         wb = 64
         words_in = (lo, hi)
     else:
         shape = tuple(data.shape)
-        wb = 32
         if data.dtype == jnp.float32:
             data = jax.lax.bitcast_convert_type(data, jnp.uint32)
+        elif data.dtype != jnp.uint32:
+            raise ValueError(
+                f"sharded device compress supports float32/uint32 arrays or "
+                f"(lo, hi) uint32 plane tuples, got {data.dtype}")
+        wb = 32
         words_in = (data,)
     fmt.validate_shape(shape)
+
+    key = ("enc_dev", shape, wb, _mesh_key(mesh), _use_pallas())
+    run = _JIT_CACHE.get(key)
+    if run is None:
+        run = _build_compress_device(shape, wb, mesh, len(words_in))
+        _JIT_CACHE[key] = run
+    return run(words_in)
+
+
+def _build_compress_device(shape, wb, mesh, nwords):
+    from jax import shard_map
+    from .. import codec_pallas
+
     dims = len(shape)
     n = mesh.devices.size
     axis = mesh.axis_names[0]
@@ -349,30 +392,18 @@ def compress_sharded_device(data, mesh: Mesh):
                        * word_u32)
     header_u32 = fmt.header_u32_words(num_hc, wb)
     bound_u32 = fmt.compressed_bound_u32(shape, wb)
-    from .. import codec_pallas
-
     border_idx = codec_pallas._border_indices(shape)
     # absorb the last shard's padded-body tail + decode window slack
     out_size = bound_u32 + bound_local_u32 + word_u32 * codec_pallas.WIN_ROWS * 128
 
-    def shard_fn(words):
-        if wb == 32:
-            entries, body, _ = _local_encode_parts(
-                words[0].reshape(local_shape), local_shape, dims, wb)
-        else:
-            entries, body, _ = _local_encode_parts(
-                (words[0].reshape(local_shape), words[1].reshape(local_shape)),
-                local_shape, dims, wb)
-        return entries, body
-
     mapped = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(tuple(P(axis) for _ in words_in),),
+        _encode_shard_fn(local_shape, dims, wb), mesh=mesh,
+        in_specs=(tuple(P(axis) for _ in range(nwords)),),
         out_specs=(P(axis), P(axis)),
         check_vma=False)  # pallas_call outputs carry no vma annotation
     sh = NamedSharding(mesh, P(axis))
 
-    @functools.partial(jax.jit)
+    @jax.jit
     def run(words):
         ws = []
         for w in words:
@@ -420,20 +451,28 @@ def compress_sharded_device(data, mesh: Mesh):
         length = header_u32 + total_words * word_u32 + border_words
         return out, length
 
-    return run(words_in)
+    return run
 
 
-def _decode_shards(stream, shape, dtype, mesh: Mesh):
-    """Shared decode core: slice per-shard sub-streams, run the shard_map
-    decode, return (out_local, offsets, header_u32) where out_local is the
-    global device array in padded-shard layout ((n*rows_per_shard,) +
-    interior trailing dims [+ (2,) u32 planes for fp64])."""
+def _decode_setup(shape, dtype, mesh, kwin):
+    """Static decode configuration + the shard_map'ed per-shard decode
+    (memoized per (shape, dtype, mesh, window bucket)).  Returns a context
+    namespace; ``ctx.jit_mapped(subs, starts)`` runs the decode on
+    (n, bound_local) sub-streams and (n, per_shard) rebased starts."""
+    from types import SimpleNamespace
+
     from jax import shard_map
-    from .. import codec_xla
+    from .. import codec_pallas, codec_xla
+
+    use_pallas = _use_pallas()
+    key = ("dec", tuple(shape), str(np.dtype(dtype)), _mesh_key(mesh),
+           kwin, use_pallas)
+    ctx = _JIT_CACHE.get(key)
+    if ctx is not None:
+        return ctx
 
     shape = tuple(shape)
-    dtype = np.dtype(dtype)
-    wb = fmt.word_bits_for_dtype(dtype)
+    wb = fmt.word_bits_for_dtype(np.dtype(dtype))
     dims = len(shape)
     n = mesh.devices.size
     axis = mesh.axis_names[0]
@@ -443,46 +482,16 @@ def _decode_shards(stream, shape, dtype, mesh: Mesh):
     grid = fmt.grid_shape(shape)
     rows_per_shard = rows_pb * side
     local_shape = (rows_per_shard,) + tuple(g * side for g in grid[1:])
-
-    from .. import codec_pallas
-
-    use_pallas = _use_pallas()
-    stream = np.asarray(stream)
     word_u32 = wb // 32
-
     header_u32 = fmt.header_u32_words(num_hc, wb)
-    offsets = stream[:num_hc].astype(np.int64)
 
-    # per-shard sub-streams: shard k's body span rebased to word offset 0,
-    # zero-padded to the static per-shard bound (+ window-read slack for
-    # the Pallas kernels), plus rebased local start offsets.  Padded blocks
-    # (uneven grids) reuse the last real block's start; their decoded
-    # output is dropped at assembly.
     pad_extra = word_u32 * codec_pallas.WIN_ROWS * 128 if use_pallas else 0
     bound_local = (per_shard * fmt.Profile(wb, dims).compressed_block_length_bound
                    * word_u32 + pad_extra)
     bound_local = -(-bound_local // 128) * 128
-    subs = np.zeros((n, bound_local), np.uint32)
-    starts_all = np.zeros((n, per_shard), np.int32)
-    for k in range(n):
-        rk = real[k]
-        if rk == 0:
-            continue
-        lo = k * per_shard  # earlier shards are all full, so this is exact
-        base = int(offsets[lo - 1]) if lo else 0
-        end = int(offsets[lo + rk - 1])
-        starts_all[k, 1:rk] = offsets[lo : lo + rk - 1] - base
-        starts_all[k, rk:] = starts_all[k, rk - 1]
-        span = (end - base) * word_u32
-        subs[k, :span] = stream[header_u32 + base * word_u32
-                                : header_u32 + end * word_u32]
 
     heads_n = fmt.HC_SIZE // wb
     win = heads_n + fmt.HC_SIZE  # words per window (XLA path)
-    # Pallas path: adaptive window bucket from the largest block in the
-    # whole stream (one bucket for all shards = one compiled kernel)
-    kwin = codec_pallas.win_rows_for(
-        int(np.max(np.diff(offsets, prepend=0))) if num_hc else 0)
     local_hc = per_shard
     G = codec_pallas.G_DEC if wb == 32 else codec_pallas.G_DEC64
     nb_pad = (local_hc + G - 1) // G * G
@@ -535,10 +544,56 @@ def _decode_shards(stream, shape, dtype, mesh: Mesh):
         in_specs=(P(axis), P(axis)),
         out_specs=P(axis),
         check_vma=False)  # pallas_call outputs carry no vma annotation
-    sub_sh = NamedSharding(mesh, P(axis))
-    out_local = jax.jit(mapped)(
-        jax.device_put(subs, sub_sh), jax.device_put(starts_all, sub_sh))
-    return out_local, offsets, header_u32
+
+    ctx = SimpleNamespace(
+        mapped=mapped, jit_mapped=jax.jit(mapped), wb=wb, dims=dims, n=n,
+        num_hc=num_hc, per_shard=per_shard, real=real, grid=grid, side=side,
+        rows_per_shard=rows_per_shard, word_u32=word_u32,
+        header_u32=header_u32, bound_local=bound_local, sub_sh=NamedSharding(
+            mesh, P(axis)))
+    _JIT_CACHE[key] = ctx
+    return ctx
+
+
+def _decode_shards(stream, shape, dtype, mesh: Mesh):
+    """Host-stream decode core: slice per-shard sub-streams on the host,
+    run the shard_map decode, return (out_local, offsets, header_u32)
+    where out_local is the global device array in padded-shard layout
+    ((n*rows_per_shard,) + interior trailing dims [+ (2,) for fp64])."""
+    from .. import codec_pallas
+
+    shape = tuple(shape)
+    stream = np.asarray(stream)
+    wb = fmt.word_bits_for_dtype(np.dtype(dtype))
+    num_hc = fmt.num_hypercubes(shape)
+    offsets = stream[:num_hc].astype(np.int64)
+    kwin = codec_pallas.win_rows_for(
+        int(np.max(np.diff(offsets, prepend=0))) if num_hc else 0)
+    ctx = _decode_setup(shape, dtype, mesh, kwin)
+
+    # per-shard sub-streams: shard k's body span rebased to word offset 0,
+    # zero-padded to the static per-shard bound (+ window-read slack for
+    # the Pallas kernels), plus rebased local start offsets.  Padded blocks
+    # (uneven grids) reuse the last real block's start; their decoded
+    # output is dropped at assembly.
+    subs = np.zeros((ctx.n, ctx.bound_local), np.uint32)
+    starts_all = np.zeros((ctx.n, ctx.per_shard), np.int32)
+    for k in range(ctx.n):
+        rk = ctx.real[k]
+        if rk == 0:
+            continue
+        lo = k * ctx.per_shard  # earlier shards are all full -> exact
+        base = int(offsets[lo - 1]) if lo else 0
+        end = int(offsets[lo + rk - 1])
+        starts_all[k, 1:rk] = offsets[lo : lo + rk - 1] - base
+        starts_all[k, rk:] = starts_all[k, rk - 1]
+        span = (end - base) * ctx.word_u32
+        subs[k, :span] = stream[ctx.header_u32 + base * ctx.word_u32
+                                : ctx.header_u32 + end * ctx.word_u32]
+
+    out_local = ctx.jit_mapped(
+        jax.device_put(subs, ctx.sub_sh), jax.device_put(starts_all, ctx.sub_sh))
+    return out_local, offsets, ctx.header_u32
 
 
 def decompress_sharded(stream, shape, dtype, mesh: Mesh):
@@ -589,40 +644,78 @@ def decompress_sharded_device(stream, shape, dtype, mesh: Mesh):
     """Block-parallel decode whose OUTPUT STAYS ON THE MESH — the serving
     path: a consumer (e.g. a training step reading compressed checkpoint
     or dataset shards) gets a ``jax.Array`` sharded over ``mesh``'s axis
-    with no host round-trip of the decoded bytes.  Interior rearrangement
-    and the (tiny) border scatter run device-side under jit; only the
-    border words and per-shard sub-streams are staged from the host.
+    with no host round-trip of the decoded bytes.
+
+    When ``stream`` is a ``jax.Array`` the compressed payload stays on
+    device too: per-shard sub-streams are sliced under jit at offsets
+    read from the header, and only the (tiny) offset table is pulled to
+    the host — it selects the static decode-window bucket, which must be
+    known at trace time.  numpy streams are sliced on the host as in
+    ``decompress_sharded``.  The jitted program is cached per
+    (shape, dtype, mesh, window bucket).
 
     Returns a uint32/float32 array of ``shape`` for 32-bit dtypes, or a
     ``(lo, hi)`` uint32 plane tuple for fp64 (TPUs have no 64-bit lanes;
     join on host via ops.u64pair when needed)."""
-    import functools
-
     from .. import codec_pallas
 
     shape = tuple(shape)
     dtype = np.dtype(dtype)
     wb = fmt.word_bits_for_dtype(dtype)
-    dims = len(shape)
-    n = mesh.devices.size
-    axis = mesh.axis_names[0]
-    stream = np.asarray(stream)
-    out_local, offsets, header_u32 = _decode_shards(stream, shape, dtype, mesh)
-
     num_hc = fmt.num_hypercubes(shape)
-    _, rows_pb, _ = _shard_grid(shape, n)
-    side = fmt.SIDE_LENGTH[dims]
-    grid = fmt.grid_shape(shape)
-    rows_per_shard = rows_pb * side
-    int_rows = grid[0] * side
-    trailing = tuple(g * side for g in grid[1:])
-    word_u32 = wb // 32
 
-    # border words (tiny, replicated) + their N-D scatter coordinates
-    body_total = int(offsets[-1]) if num_hc else 0
-    bpos = header_u32 + body_total * word_u32
+    device_stream = isinstance(stream, jax.Array)
+    if device_stream:
+        header_host = np.asarray(stream[:num_hc])  # offset table only
+    else:
+        stream = np.asarray(stream)
+        header_host = stream[:num_hc]
+    offs_host = header_host.astype(np.int64)
+    kwin = codec_pallas.win_rows_for(
+        int(np.max(np.diff(offs_host, prepend=0))) if num_hc else 0)
+    ctx = _decode_setup(shape, dtype, mesh, kwin)
+
+    if device_stream:
+        key = ("dec_dev", shape, str(dtype), _mesh_key(mesh), kwin,
+               _use_pallas(), int(stream.shape[0]))
+        run = _JIT_CACHE.get(key)
+        if run is None:
+            run = _build_decompress_device(shape, dtype, mesh, ctx,
+                                           int(stream.shape[0]))
+            _JIT_CACHE[key] = run
+        out = run(stream)
+    else:
+        out_local, offsets, header_u32 = _decode_shards(
+            stream, shape, dtype, mesh)
+        body_total = int(offsets[-1]) if num_hc else 0
+        bpos = header_u32 + body_total * ctx.word_u32
+        bcnt = fmt.border_element_count(shape)
+        border_u32 = stream[bpos : bpos + bcnt * ctx.word_u32]
+        akey = ("dec_asm", shape, str(dtype), _mesh_key(mesh))
+        assemble = _JIT_CACHE.get(akey)
+        if assemble is None:
+            assemble = _build_assemble(shape, dtype, mesh, ctx)
+            _JIT_CACHE[akey] = assemble
+        out = assemble(out_local, jnp.asarray(border_u32))
+    if wb == 32 and dtype == np.float32:
+        out = jax.lax.bitcast_convert_type(out, jnp.float32)
+    return out
+
+
+def _build_assemble(shape, dtype, mesh, ctx):
+    """Jitted device-side final assembly: padded-shard interior rows ->
+    the true array shape, plus the (tiny) border scatter."""
+    import functools
+
+    from .. import codec_pallas
+
+    dims = len(shape)
+    wb = ctx.wb
+    n = ctx.n
+    axis = mesh.axis_names[0]
+    int_rows = ctx.grid[0] * ctx.side
+    trailing = tuple(g * ctx.side for g in ctx.grid[1:])
     bcnt = fmt.border_element_count(shape)
-    border_u32 = stream[bpos : bpos + bcnt * word_u32]
     nd = codec_pallas._border_nd(shape) if bcnt else None
 
     # jit out_shardings need dim-0 divisibility; for ragged shapes let
@@ -636,13 +729,15 @@ def decompress_sharded_device(stream, shape, dtype, mesh: Mesh):
     def assemble(ol, bv):
         origin = (0,) * dims
         if wb == 32:
-            interior = ol.reshape((n * rows_per_shard,) + trailing)[:int_rows]
+            interior = ol.reshape(
+                (n * ctx.rows_per_shard,) + trailing)[:int_rows]
             full = jnp.zeros(shape, jnp.uint32)
             full = jax.lax.dynamic_update_slice(full, interior, origin)
             if bcnt:
                 full = full.at[nd].set(bv)
             return full
-        pairs = ol.reshape((n * rows_per_shard,) + trailing + (2,))[:int_rows]
+        pairs = ol.reshape(
+            (n * ctx.rows_per_shard,) + trailing + (2,))[:int_rows]
         flo = jax.lax.dynamic_update_slice(
             jnp.zeros(shape, jnp.uint32), pairs[..., 0], origin)
         fhi = jax.lax.dynamic_update_slice(
@@ -653,10 +748,61 @@ def decompress_sharded_device(stream, shape, dtype, mesh: Mesh):
             fhi = fhi.at[nd].set(bp[:, 1])
         return flo, fhi
 
-    out = assemble(out_local, jnp.asarray(border_u32))
-    if wb == 32 and dtype == np.float32:
-        out = jax.lax.bitcast_convert_type(out, jnp.float32)
-    return out
+    return assemble
+
+
+def _build_decompress_device(shape, dtype, mesh, ctx, stream_len):
+    """Jitted end-to-end device decode for a device-resident stream of
+    static length: pad, slice per-shard sub-streams at header offsets,
+    shard_map decode, assemble — one compiled program, payload never on
+    the host."""
+    dims = len(shape)
+    wb = ctx.wb
+    n = ctx.n
+    num_hc = ctx.num_hc
+    per_shard, real = ctx.per_shard, ctx.real
+    word_u32, header_u32 = ctx.word_u32, ctx.header_u32
+    bound_local = ctx.bound_local
+    bcnt = fmt.border_element_count(shape)
+    # every dynamic_slice must stay in-bounds without clamping: the
+    # farthest read is header + last body offset*word + bound_local
+    need = header_u32 + fmt.compressed_bound_u32(shape, wb) + bound_local
+    assemble = _build_assemble(shape, dtype, mesh, ctx)
+
+    @jax.jit
+    def run(stream_dev):
+        s = stream_dev
+        if stream_len < need:
+            s = jnp.concatenate(
+                [s, jnp.zeros(need - stream_len, jnp.uint32)])
+        offsets = jax.lax.bitcast_convert_type(s[:num_hc], jnp.int32)
+        subs, starts = [], []
+        for k in range(n):
+            rk = real[k]
+            if rk == 0:
+                subs.append(jnp.zeros(bound_local, jnp.uint32))
+                starts.append(jnp.zeros(per_shard, jnp.int32))
+                continue
+            lo = k * per_shard  # earlier shards are all full -> exact
+            base = offsets[lo - 1] if lo else jnp.int32(0)
+            s_k = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), offsets[lo : lo + rk - 1] - base])
+            if rk < per_shard:
+                s_k = jnp.concatenate(
+                    [s_k, jnp.broadcast_to(s_k[rk - 1], (per_shard - rk,))])
+            starts.append(s_k)
+            subs.append(jax.lax.dynamic_slice(
+                s, (header_u32 + base * word_u32,), (bound_local,)))
+        subs = jax.lax.with_sharding_constraint(jnp.stack(subs), ctx.sub_sh)
+        starts = jax.lax.with_sharding_constraint(jnp.stack(starts), ctx.sub_sh)
+        out_local = ctx.mapped(subs, starts)
+        body_total = offsets[num_hc - 1] if num_hc else jnp.int32(0)
+        bv = jax.lax.dynamic_slice(
+            s, (header_u32 + body_total * word_u32,),
+            (max(bcnt * word_u32, 1),))[: bcnt * word_u32]
+        return assemble(out_local, bv)
+
+    return run
 
 
 def _decode_windows_xla32(windows, dims):

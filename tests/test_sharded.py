@@ -95,7 +95,11 @@ def test_sharded_device_resident_decode(mesh8, shape, dtype):
     data = RNG.standard_normal(shape).astype(dtype)
     data.reshape(-1)[:100] = 0
     stream, _ = golden.compress(data)
-    out = decompress_sharded_device(stream, shape, dtype, mesh8)
+    # device-resident stream: sub-streams sliced on device, only the
+    # offset table touches the host
+    import jax.numpy as jnp
+
+    out = decompress_sharded_device(jnp.asarray(stream), shape, dtype, mesh8)
     if dtype == np.float64:
         lo, hi = out
         assert isinstance(lo, jax.Array) and len(lo.sharding.device_set) == 8
@@ -149,3 +153,30 @@ def test_sharded_odd_mesh_sizes(n_dev):
     assert length == elen and stream.tobytes() == expect.tobytes()
     out = decompress_sharded(stream, shape, np.float32, mesh)
     assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
+
+
+def test_sharded_device_decode_host_stream(mesh8):
+    """numpy streams take the host-slicing path of the same API."""
+    shape = (4096 * 16 + 33,)
+    data = RNG.standard_normal(shape).astype(np.float32)
+    stream, _ = golden.compress(data)
+    out = decompress_sharded_device(stream, shape, np.float32, mesh8)
+    assert np.array_equal(np.asarray(out).view(np.uint32),
+                          data.view(np.uint32))
+
+
+def test_sharded_device_jit_cache_reused(mesh8):
+    """Repeat device-resident calls reuse the cached jitted program."""
+    from ndzip_tpu.parallel import sharded as sh
+
+    shape = (4096 * 16,)
+    data = RNG.standard_normal(shape).astype(np.float32)
+    import jax.numpy as jnp
+
+    dev = jnp.asarray(data)
+    before = len(sh._JIT_CACHE)
+    s1, l1 = compress_sharded_device(dev, mesh8)
+    mid = len(sh._JIT_CACHE)
+    s2, l2 = compress_sharded_device(dev, mesh8)
+    assert len(sh._JIT_CACHE) == mid and mid > before
+    assert np.array_equal(np.asarray(s1[: int(l1)]), np.asarray(s2[: int(l2)]))
