@@ -166,17 +166,7 @@ def compress_multihost(local_slab: np.ndarray, mesh=None) -> ShardStream:
     host_words = tuple(sharded._pad_block_rows(w, pad_rows)
                        for w in _split_words(local_slab[interior], wb))
 
-    def shard_fn(words):
-        if wb == 32:
-            w = words[0].reshape(shard_local_shape)
-            entries, body, _ = sharded._local_encode_parts(
-                w, shard_local_shape, dims, wb)
-        else:
-            lo = words[0].reshape(shard_local_shape)
-            hi = words[1].reshape(shard_local_shape)
-            entries, body, _ = sharded._local_encode_parts(
-                (lo, hi), shard_local_shape, dims, wb)
-        return entries, body
+    shard_fn = sharded._encode_shard_fn(shard_local_shape, dims, wb)
 
     sharding = NamedSharding(mesh, P(axis))
     global_in = tuple(
