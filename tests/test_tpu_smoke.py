@@ -124,3 +124,41 @@ def test_offloader_device_timing_on_hardware():
     out = off.decompress(stream, data.shape)
     assert off.timing.decompress_ns > 0
     assert np.array_equal(out, data)
+
+
+def test_adaptive_window_on_hardware():
+    """Decode at the stream's adaptive window bucket on the compiled
+    Mosaic path (one extra (shape, G, win) compile) — bit-equal to the
+    worst-case-window decode of the same stream."""
+    shape = (4096 * 8 + 9,)
+    data = make_data(shape)
+    g, _ = golden.compress(data)
+    win = codec_pallas.win_rows_for(codec_pallas.max_block_words(g, shape, 32))
+    assert win <= codec_pallas.WIN_ROWS
+    out = codec_pallas.decompress(g, shape, np.float32, win=win)
+    assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
+
+
+def test_sharded_device_resident_on_hardware():
+    """compress_sharded_device -> decompress_sharded_device on the real
+    kernels (single-device mesh; payload stays on the chip)."""
+    import jax.numpy as jnp
+
+    from ndzip_tpu.parallel import (
+        compress_sharded_device,
+        decompress_sharded_device,
+        make_mesh,
+    )
+
+    mesh = make_mesh(jax.devices()[:1])
+    shape = (4096 * 8 + 9,)
+    data = make_data(shape)
+    expect, elen = golden.compress(data)
+    stream_dev, length_dev = compress_sharded_device(jnp.asarray(data), mesh)
+    length = int(length_dev)
+    assert length == elen
+    assert np.asarray(stream_dev[:length]).tobytes() == expect.tobytes()
+    out = decompress_sharded_device(stream_dev[:length], shape,
+                                    np.float32, mesh)
+    assert np.array_equal(np.asarray(out).view(np.uint32),
+                          data.view(np.uint32))
