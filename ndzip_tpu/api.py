@@ -225,12 +225,35 @@ def _resolve_backend(backend: str) -> str:
     return "cpu" if native.available() else "golden"
 
 
+class _ShardedCompressor(Compressor):
+    """Single-host multi-chip backend: block-parallel shard_map over every
+    visible device (parallel/sharded.py); the stream is byte-identical to
+    every single-device backend.  Shapes with no whole hypercube block
+    (all-border) are rejected — use a single-device backend for those."""
+
+    def compress(self, data):
+        from .parallel import sharded
+
+        data = np.ascontiguousarray(data)
+        self._check(data)
+        return sharded.compress_sharded(data, sharded.make_mesh())
+
+
+class _ShardedDecompressor(Decompressor):
+    def decompress(self, stream, shape):
+        from .parallel import sharded
+
+        return sharded.decompress_sharded(
+            np.asarray(stream), tuple(shape), self.dtype, sharded.make_mesh())
+
+
 _COMPRESSORS = {
     "golden": _GoldenCompressor,
     "cpu": _NativeCompressor,
     "native": _NativeCompressor,
     "xla": _XlaCompressor,
     "pallas": _PallasCompressor,
+    "sharded": _ShardedCompressor,
 }
 _DECOMPRESSORS = {
     "golden": _GoldenDecompressor,
@@ -238,6 +261,7 @@ _DECOMPRESSORS = {
     "native": _NativeDecompressor,
     "xla": _XlaDecompressor,
     "pallas": _PallasDecompressor,
+    "sharded": _ShardedDecompressor,
 }
 
 

@@ -28,8 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="N", help="array extents, first-major, 1-3 dims")
     p.add_argument("-t", "--data-type", choices=["float", "double"], default="float")
     p.add_argument("-e", "--encoder", default="auto",
-                   choices=["auto", "cpu", "golden", "xla", "pallas"],
-                   help="codec backend (default: auto — best for this machine)")
+                   choices=["auto", "cpu", "golden", "xla", "pallas", "sharded"],
+                   help="codec backend (default: auto — best for this "
+                        "machine; 'sharded' block-parallelizes over every "
+                        "visible accelerator)")
     p.add_argument("-T", "--threads", type=int, default=0,
                    help="CPU backend threads (0 = all cores)")
     p.add_argument("-i", "--input", default="-", help="input file (default stdin)")

@@ -198,3 +198,20 @@ def test_backend_env_override_and_probe(monkeypatch):
     # on this suite's CPU platform the probe resolves and auto -> xla
     monkeypatch.undo()
     assert api._resolve_backend("auto") in ("xla", "pallas")
+
+
+def test_sharded_backend_roundtrip():
+    """api/CLI backend 'sharded': block-parallel over all visible devices,
+    byte-identical streams."""
+    import numpy as np
+
+    from ndzip_tpu import api, golden
+
+    data = np.sin(np.arange(4096 * 9 + 7) * 1e-3).astype(np.float32)
+    c = api.make_compressor(np.float32, 1, "sharded")
+    d = api.make_decompressor(np.float32, 1, "sharded")
+    stream, words = c.compress(data)
+    g, gl = golden.compress(data)
+    assert words == gl and stream.tobytes() == g.tobytes()
+    out = d.decompress(stream, data.shape)
+    assert np.array_equal(out, data)
