@@ -180,3 +180,22 @@ def test_sharded_device_jit_cache_reused(mesh8):
     s2, l2 = compress_sharded_device(dev, mesh8)
     assert len(sh._JIT_CACHE) == mid and mid > before
     assert np.array_equal(np.asarray(s1[: int(l1)]), np.asarray(s2[: int(l2)]))
+
+
+def test_sharded_nan_inf_denormal_bit_exact(mesh8):
+    """Special values travel the parallel layer bit-exactly (the codec is
+    bitwise; NaN payloads must survive)."""
+    shape = (4096 * 8 + 21,)
+    data = np.full(shape, np.nan, np.float32)
+    data[100:200] = np.inf
+    data[300:400] = -np.inf
+    data[500:600] = -0.0
+    data[700:800] = np.float32(1e-42)  # denormal
+    data[1000:] = np.sin(np.arange(shape[0] - 1000) * 1e-3)
+    bits = RNG.integers(0, 2**32, 50, dtype=np.uint32)
+    data.view(np.uint32)[900:950] = bits  # arbitrary bit patterns
+    expect, elen = golden.compress(data)
+    stream, length = compress_sharded(data, mesh8)
+    assert length == elen and stream.tobytes() == expect.tobytes()
+    out = decompress_sharded(stream, shape, np.float32, mesh8)
+    assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
