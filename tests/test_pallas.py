@@ -150,3 +150,27 @@ def test_decompress_rejects_undersized_win():
     g, _ = golden.compress(data)
     with pytest.raises(ValueError, match="cannot cover"):
         codec_pallas.decompress(g, data.shape, np.float32, win=2)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_decode_at_exact_minimal_window(seed):
+    """Decode with win = the exact row count the stream needs (tighter
+    than any bucket) must stay bit-exact — stresses the start-rotation
+    coverage math of win_rows_for."""
+    rng = np.random.default_rng(400 + seed)
+    shape = (4096 * 3 + 11,)
+    styles = [
+        np.sin(np.arange(shape[0]) * 1e-3),
+        np.repeat(rng.standard_normal(shape[0] // 97 + 1), 97)[: shape[0]],
+        rng.standard_normal(shape[0]) * (rng.random(shape[0]) < 0.1),
+    ]
+    data = styles[seed].astype(np.float32)
+    g, _ = golden.compress(data)
+    need = (codec_pallas.max_block_words(g, shape, 32)
+            + 2 * (codec_pallas.LANES - 1)) // codec_pallas.LANES
+    win = max(2, need)
+    out = codec_pallas.decompress(g, shape, np.float32, win=win)
+    assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
+    if win > 2:  # one row fewer must be rejected by the host validator
+        with pytest.raises(ValueError, match="cannot cover"):
+            codec_pallas.decompress(g, shape, np.float32, win=win - 1)
