@@ -645,9 +645,13 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         # row occupies lanes < fill
         is_head = rows % 33 == 1
         real_rows = rows < 1 + 33 * (num_hc - step * G)
+        # select between int32 operands, not bools: current Mosaic rejects
+        # the i8->i1 trunci a bool-operand select needs on unaligned row
+        # counts (vector<(1+33G)x128xi1>), observed live on the r4 tunnel
+        # (dev/mosaic_repro.py)
         valid = jnp.where(
-            rows == 0, cols < fill,
-            (is_head | (step_flat != 0)) & real_rows).astype(jnp.int32)
+            rows == 0, (cols < fill).astype(jnp.int32),
+            ((is_head | (step_flat != 0)) & real_rows).astype(jnp.int32))
 
         # step compaction: in-row butterfly (7 lane-only rounds), per-row
         # rotation to the global lane offset, then ONE single-plane OR-merge
@@ -1277,10 +1281,14 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         # blocks satisfy the row bound, the carry row fills lanes < fill
         is_head = rows % 33 == 1
         real_rows = rows < 1 + 33 * (num_hc - step * G)
+        # int32 operands (not bool) for the same Mosaic trunci reason as
+        # the fp32 kernel; the inner head/body pick folds into one bool
+        # expression so no bool-operand select remains
+        body_nz = jnp.where(is_head, (cols < 64).astype(jnp.int32),
+                            ((step_lo | step_hi) != 0).astype(jnp.int32))
         valid = jnp.where(
-            rows == 0, cols < fill,
-            jnp.where(is_head, cols < 64, (step_lo | step_hi) != 0)
-            & real_rows).astype(jnp.int32)
+            rows == 0, (cols < fill).astype(jnp.int32),
+            body_nz * real_rows.astype(jnp.int32))
 
         # step compaction: same two-phase route as the fp32 kernel (in-row
         # butterfly + per-row rotation + one single-plane-per-plane OR-merge
