@@ -34,6 +34,18 @@ from ..ops import u64pair
 AXIS = "blocks"
 
 
+def _ring_assembly() -> bool:
+    """Device-resident stream assembly strategy.  Default: a ppermute ring
+    that keeps every device's footprint at O(its slab + its shard bound)
+    (VERDICT r3 weak #4 — the dynamic_update_slice assembly lets GSPMD
+    replicate the whole stream per device).  ``NDZIP_TPU_SHARDED_RING=0``
+    falls back to the replicated-assembly path (kill-switch; see
+    dev/HW_PLAYBOOK.md)."""
+    import os
+
+    return os.environ.get("NDZIP_TPU_SHARDED_RING", "1") != "0"
+
+
 def make_mesh(devices=None, axis_name: str = AXIS) -> Mesh:
     devices = jax.devices() if devices is None else devices
     return Mesh(np.asarray(devices), (axis_name,))
@@ -83,6 +95,30 @@ def _use_pallas() -> bool:
 
     return (jax.default_backend() in ("tpu", "axon")
             and not codec_pallas.INTERPRET)
+
+
+def _masked_span_copy(dst, dst_base, src, src_base, src_len):
+    """Copy the overlap of the global word span [src_base, src_base+src_len)
+    (whose values are ``src``) into ``dst``, which represents the global span
+    [dst_base, dst_base+len(dst)).  Both bases may be traced scalars; the
+    copy is a shifted dynamic_slice + select, so it stays O(len(dst)+len(src))
+    with no data-dependent shapes — the building block of the ppermute-ring
+    stream assembly (each device only ever materializes its own slab and one
+    in-flight shard buffer, never the whole stream)."""
+    S = dst.shape[0]
+    L = src.shape[0]
+    shift = jnp.clip(dst_base - src_base, -S, L).astype(jnp.int32)
+    padded = jnp.concatenate(
+        [jnp.zeros(S, src.dtype), src, jnp.zeros(S, src.dtype)])
+    vals = jax.lax.dynamic_slice(padded, (S + shift,), (S,))
+    pos = jnp.arange(S, dtype=jnp.int32) + dst_base
+    mask = (pos >= src_base) & (pos < src_base + src_len)
+    return jnp.where(mask, vals, dst)
+
+
+def _ring_shift(x, axis, n):
+    """One ring step: every device passes ``x`` to its successor."""
+    return jax.lax.ppermute(x, axis, [(i, (i + 1) % n) for i in range(n)])
 
 
 def _local_encode_parts(words_local, local_shape, dims, wb):
@@ -363,10 +399,12 @@ def compress_sharded_device(data, mesh: Mesh):
         words_in = (data,)
     fmt.validate_shape(shape)
 
-    key = ("enc_dev", shape, wb, _mesh_key(mesh), _use_pallas())
+    ring = _ring_assembly()
+    key = ("enc_dev", shape, wb, _mesh_key(mesh), _use_pallas(), ring)
     run = _JIT_CACHE.get(key)
     if run is None:
-        run = _build_compress_device(shape, wb, mesh, len(words_in))
+        build = _build_compress_device_ring if ring else _build_compress_device
+        run = build(shape, wb, mesh, len(words_in))
         _JIT_CACHE[key] = run
     return run(words_in)
 
@@ -450,6 +488,128 @@ def _build_compress_device(shape, wb, mesh, nwords):
             border_words = jnp.int32(bv.shape[0])
         length = header_u32 + total_words * word_u32 + border_words
         return out, length
+
+    return run
+
+
+def _build_compress_device_ring(shape, wb, mesh, nwords):
+    """Device-resident sharded compress with O(shard)-per-device assembly.
+
+    The replicated-assembly path (_build_compress_device) lets GSPMD hold
+    the whole output stream (and O(total) temps) on every device.  Here the
+    output stream is born sharded: device d owns slab d of n equal slabs,
+    and the per-shard bodies circulate once around the ring
+    (``ppermute``, n-1 hops over ICI — the same traffic as a ring
+    all-gather) while every device copies each passing body's overlap with
+    its own slab.  Per-device footprint: one slab + one in-flight body
+    bound + the (tiny) replicated header — never the full stream.  The
+    distributed analog of the reference's offset-table random access
+    guarantee that nobody materializes the whole stream at once
+    (cuda_codec.inl:290-297)."""
+    from jax import shard_map
+    from .. import codec_pallas
+
+    dims = len(shape)
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    num_hc = fmt.num_hypercubes(shape)
+    per_shard, rows_pb, real = _shard_grid(shape, n)
+    side = fmt.SIDE_LENGTH[dims]
+    grid = fmt.grid_shape(shape)
+    rows_per_shard = rows_pb * side
+    pad_rows = rows_pb * n * side - grid[0] * side
+    interior_shape = tuple(g * side for g in grid)
+    local_shape = (rows_per_shard,) + interior_shape[1:]
+    word_u32 = wb // 32
+    header_u32 = fmt.header_u32_words(num_hc, wb)
+    bound_u32 = fmt.compressed_bound_u32(shape, wb)
+    bcnt = fmt.border_element_count(shape)
+    bw = bcnt * word_u32
+    # one slab per device; n*S covers the stream bound (header+bodies+border)
+    S = -(-bound_u32 // (n * 128)) * 128
+    real_arr = jnp.asarray(real, jnp.int32)
+
+    def shard_fn(words, bv):
+        if wb == 32:
+            entries, body, _ = _local_encode_parts(
+                words[0].reshape(local_shape), local_shape, dims, wb)
+        else:
+            entries, body, _ = _local_encode_parts(
+                (words[0].reshape(local_shape), words[1].reshape(local_shape)),
+                local_shape, dims, wb)
+        my = jax.lax.axis_index(axis)
+        rk = real_arr[my]
+        wlen = jnp.where(  # this shard's real body length, profile words
+            rk > 0,
+            jax.lax.bitcast_convert_type(
+                entries[jnp.clip(rk - 1, 0, per_shard - 1)], jnp.int32),
+            jnp.int32(0))
+        lens = jax.lax.all_gather(wlen, axis)          # (n,), tiny
+        cum = jnp.cumsum(lens) - lens                  # exclusive offsets
+        # header: all real entries rebased by their shard's global offset —
+        # O(num_hc) replicated (~0.1% of the data), static shapes via real[]
+        ents_all = jax.lax.all_gather(entries, axis)   # (n, per_shard)
+        hdr = jnp.concatenate(
+            [ents_all[k, : real[k]] + cum[k].astype(jnp.uint32)
+             for k in range(n) if real[k]])
+        if header_u32 > num_hc:
+            hdr = jnp.concatenate(
+                [hdr, jnp.zeros(header_u32 - num_hc, jnp.uint32)])
+        total = cum[n - 1] + lens[n - 1]
+
+        myA = my * S
+        slab = jnp.zeros(S, jnp.uint32)
+        slab = _masked_span_copy(slab, myA, hdr, jnp.int32(0), header_u32)
+
+        def step(s, carry):
+            slab, bj = carry
+            j = (my - s) % n
+            start = header_u32 + cum[j] * word_u32
+            ln = lens[j] * word_u32
+            slab = jax.lax.cond(
+                (start < myA + S) & (start + ln > myA),
+                lambda sl: _masked_span_copy(sl, myA, bj, start, ln),
+                lambda sl: sl, slab)
+            return slab, _ring_shift(bj, axis, n)
+
+        slab, _ = jax.lax.fori_loop(0, n, step, (slab, body))
+        if bcnt:
+            slab = _masked_span_copy(
+                slab, myA, bv, header_u32 + total * word_u32, bw)
+        return slab, wlen[None]
+
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(tuple(P(axis) for _ in range(nwords)), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False)  # pallas_call outputs carry no vma annotation
+    sh = NamedSharding(mesh, P(axis))
+    border_idx = codec_pallas._border_indices(shape)
+
+    @jax.jit
+    def run(words):
+        ws = []
+        for w in words:
+            wi = jax.lax.slice(w, (0,) * dims, interior_shape)
+            if pad_rows:
+                wi = jnp.concatenate(
+                    [wi, jnp.zeros((pad_rows,) + interior_shape[1:],
+                                   jnp.uint32)], axis=0)
+            ws.append(jax.lax.with_sharding_constraint(wi, sh))
+        if border_idx.size:
+            idx = jnp.asarray(border_idx)
+            if wb == 32:
+                bv = words[0].reshape(-1)[idx]
+            else:
+                bl = words[0].reshape(-1)[idx]
+                bh = words[1].reshape(-1)[idx]
+                bv = jnp.stack([bl, bh], axis=-1).reshape(-1)
+        else:
+            bv = jnp.zeros(1, jnp.uint32)
+        slabs, wlens = mapped(tuple(ws), bv)
+        total = wlens.reshape(-1).sum()
+        length = header_u32 + total * word_u32 + bw
+        return slabs.reshape(-1), length
 
     return run
 
@@ -546,6 +706,7 @@ def _decode_setup(shape, dtype, mesh, kwin):
         check_vma=False)  # pallas_call outputs carry no vma annotation
 
     ctx = SimpleNamespace(
+        shard_body=shard_fn,
         mapped=mapped, jit_mapped=jax.jit(mapped), wb=wb, dims=dims, n=n,
         num_hc=num_hc, per_shard=per_shard, real=real, grid=grid, side=side,
         rows_per_shard=rows_per_shard, word_u32=word_u32,
@@ -676,12 +837,14 @@ def decompress_sharded_device(stream, shape, dtype, mesh: Mesh):
     ctx = _decode_setup(shape, dtype, mesh, kwin)
 
     if device_stream:
+        ring = _ring_assembly()
         key = ("dec_dev", shape, str(dtype), _mesh_key(mesh), kwin,
-               _use_pallas(), int(stream.shape[0]))
+               _use_pallas(), int(stream.shape[0]), ring)
         run = _JIT_CACHE.get(key)
         if run is None:
-            run = _build_decompress_device(shape, dtype, mesh, ctx,
-                                           int(stream.shape[0]))
+            build = (_build_decompress_device_ring if ring
+                     else _build_decompress_device)
+            run = build(shape, dtype, mesh, ctx, int(stream.shape[0]))
             _JIT_CACHE[key] = run
         out = run(stream)
     else:
@@ -800,6 +963,111 @@ def _build_decompress_device(shape, dtype, mesh, ctx, stream_len):
         bv = jax.lax.dynamic_slice(
             s, (header_u32 + body_total * word_u32,),
             (max(bcnt * word_u32, 1),))[: bcnt * word_u32]
+        return assemble(out_local, bv)
+
+    return run
+
+
+def _build_decompress_device_ring(shape, dtype, mesh, ctx, stream_len):
+    """Device-stream sharded decode with O(shard)-per-device sub-stream
+    extraction.
+
+    The replicated path (_build_decompress_device) dynamic-slices every
+    shard's sub-stream from the full stream, which GSPMD satisfies by
+    materializing the stream per device.  Here the stream stays sharded in
+    n equal slabs; the slabs circulate once around the ring and each
+    device copies the overlap of each passing slab with its own needed
+    span [its body offset, + bound_local) — so a device only ever holds
+    one slab + its own sub-stream window.  Only the offset table
+    (``num_hc`` words, ~0.1% of the data) is replicated.  Border words are
+    recovered with one psum of each device's slab overlap with the border
+    span."""
+    from jax import shard_map
+
+    dims = len(shape)
+    wb = ctx.wb
+    n = ctx.n
+    axis = mesh.axis_names[0]
+    num_hc = ctx.num_hc
+    per_shard, real = ctx.per_shard, ctx.real
+    word_u32, header_u32 = ctx.word_u32, ctx.header_u32
+    bound_local = ctx.bound_local
+    bcnt = fmt.border_element_count(shape)
+    bw = bcnt * word_u32
+    S = -(-stream_len // (n * 128)) * 128
+    real_arr = jnp.asarray(real, jnp.int32)
+    ext_n = n * per_shard + 1  # off_ext length (all dynamic indexing in-bounds)
+
+    def shard_fn(slab):
+        slab = slab.reshape(-1)  # (S,)
+        my = jax.lax.axis_index(axis)
+        # Recover the offset table from the sharded slabs with ONE
+        # header-sized psum (each device contributes its slab's overlap
+        # with the header span; spans are disjoint so sum == value).
+        # Slicing the sharded stream outside the shard_map instead makes
+        # GSPMD all-gather the WHOLE stream per device — the exact
+        # O(total) footprint this path exists to avoid.
+        hdr_part = _masked_span_copy(
+            jnp.zeros(num_hc, jnp.uint32), jnp.int32(0), slab,
+            my * S, jnp.int32(S))
+        hdr = jax.lax.psum(hdr_part, axis)
+        offsets = jax.lax.bitcast_convert_type(hdr, jnp.int32)
+        off_ext = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets])
+        if ext_n > num_hc + 1:
+            off_ext = jnp.concatenate(
+                [off_ext,
+                 jnp.broadcast_to(off_ext[num_hc], (ext_n - num_hc - 1,))])
+        lo = my * per_shard
+        window = jax.lax.dynamic_slice(off_ext, (lo,), (per_shard,))
+        base = window[0]  # == off_ext[lo] == offsets[lo-1] (0 for shard 0)
+        sr = window - base  # sr[i] = local start of block i (sr[0] == 0)
+        rk = real_arr[my]
+        fill = sr[jnp.clip(rk - 1, 0, per_shard - 1)]
+        starts = jnp.where(jnp.arange(per_shard) < rk, sr, fill)
+
+        my_start = header_u32 + base * word_u32
+        sub = jnp.zeros(bound_local, jnp.uint32)
+
+        def step(s, carry):
+            sub, sj = carry
+            j = (my - s) % n
+            jA = j * S
+            sub = jax.lax.cond(
+                (jA < my_start + bound_local) & (jA + S > my_start),
+                lambda sb: _masked_span_copy(sb, my_start, sj, jA, S),
+                lambda sb: sb, sub)
+            return sub, _ring_shift(sj, axis, n)
+
+        sub, _ = jax.lax.fori_loop(0, n, step, (sub, slab))
+        out = ctx.shard_body(sub, starts)
+        if bcnt:
+            body_total = off_ext[num_hc]
+            bstart = header_u32 + body_total * word_u32
+            part = _masked_span_copy(
+                jnp.zeros(bw, jnp.uint32), bstart, slab, my * S, S)
+            bv = jax.lax.psum(part, axis)
+            return out, bv
+        return out
+
+    out_specs = (P(axis), P()) if bcnt else P(axis)
+    mapped = shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(axis),), out_specs=out_specs,
+        check_vma=False)  # pallas_call outputs carry no vma annotation
+    sh = NamedSharding(mesh, P(axis))
+    assemble = _build_assemble(shape, dtype, mesh, ctx)
+
+    @jax.jit
+    def run(stream_dev):
+        s = stream_dev
+        if stream_len < n * S:
+            s = jnp.concatenate(
+                [s, jnp.zeros(n * S - stream_len, jnp.uint32)])
+        s = jax.lax.with_sharding_constraint(s, sh)
+        if bcnt:
+            out_local, bv = mapped(s)
+        else:
+            out_local = mapped(s)
+            bv = jnp.zeros(0, jnp.uint32)
         return assemble(out_local, bv)
 
     return run
