@@ -96,6 +96,13 @@ G_ENC = _env_g("NDZIP_TPU_G_ENC", 8)        # encode, both dtypes
 G_DEC = _env_g("NDZIP_TPU_G_DEC", 16)       # fp32 decode
 G_DEC64 = _env_g("NDZIP_TPU_G_DEC64", 16)   # fp64 decode
 
+# Runtime kill-switches for individually-landed kernel changes, so a
+# hardware-window regression bisects by rerunning with an env var instead
+# of editing kernels (dev/HW_PLAYBOOK.md keeps the toggle-per-change
+# inventory).  Each forces a fresh jit key via the module constant.
+MERGE_GATE = os.environ.get("NDZIP_TPU_MERGE_GATE", "1") != "0"
+PADDED_TILES = os.environ.get("NDZIP_TPU_PADDED_TILES", "1") != "0"
+
 # strided-axis parameters of the block transform on the flat 4096-word
 # layout, in forward axis order (format.FORWARD_AXIS_ORDER):
 #   1D: one axis, stride 1, segment 4096
@@ -560,7 +567,7 @@ def _g_tiled_padded(shape, dims, largest, max_pad=0.2):
     throughput — accepted while the padding fraction is <= max_pad.
     Returns None for 1D or when every candidate pads too much (the
     gather route is better then)."""
-    if dims == 1:
+    if dims == 1 or not PADDED_TILES:     # kill-switch -> gather route
         return None
     grid = fmt.grid_shape(shape)
     side = fmt.SIDE_LENGTH[dims]
@@ -677,7 +684,7 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         # per row), so the last row bounds every live shift — high merge
         # rounds are skipped at runtime when compression this step cannot
         # reach them (they only fire on near-empty steps)
-        ms = (R - 1) - (off[R - 1, 0] >> 7)
+        ms = (R - 1) - (off[R - 1, 0] >> 7) if MERGE_GATE else None
         (merged,) = fv.merge_rows_or((part,), s_merge, ms)
         # the previous step's output DMAs read staging/hdr_row; waiting
         # immediately before the first overwrite of those buffers lets
@@ -1307,7 +1314,8 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         part_lo, part_hi = rotate_rows_to_offset((comp_lo, comp_hi), j, can)
         s_merge = jnp.where(
             can, rows - prow - (cols < rot).astype(jnp.int32), -1)
-        ms = (R - 1) - (off[R - 1, 0] >> 7)   # see the fp32 kernel's note
+        # see the fp32 kernel's note
+        ms = (R - 1) - (off[R - 1, 0] >> 7) if MERGE_GATE else None
         c_lo, c_hi = fv.merge_rows_or((part_lo, part_hi), s_merge, ms)
         stag_lo[:] = c_lo
         stag_hi[:] = c_hi
