@@ -74,7 +74,8 @@ def _enc_probe(shape):
         ("transpose", cp, "transpose_bits_lane32", lambda a: a),
         ("heads", cp, "heads_via_matmul", lambda body: body),
         ("inrow_bfly", fv, "compact_rows", lambda values, s: (values, s)),
-        ("rowmerge", fv, "merge_rows_or", lambda values, s: values),
+        ("rowmerge", fv, "merge_rows_or",
+         lambda values, s, max_shift=None: values),
         ("lanecnt", fv, "lane_count_prefix",
          lambda v: jnp.broadcast_to(jnp.ones_like(v), v.shape)),
         ("rowscan", cp, "_row_prefix_excl", lambda x, nrows: x),

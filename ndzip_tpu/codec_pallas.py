@@ -102,6 +102,10 @@ G_DEC64 = _env_g("NDZIP_TPU_G_DEC64", 16)   # fp64 decode
 # inventory).  Each forces a fresh jit key via the module constant.
 MERGE_GATE = os.environ.get("NDZIP_TPU_MERGE_GATE", "1") != "0"
 PADDED_TILES = os.environ.get("NDZIP_TPU_PADDED_TILES", "1") != "0"
+# XOR cell-swap butterfly tile adapters, measured faster than the lane
+# gathers on v5e (dev/hw_logs_r4/tile_xpose.log: 3D 0.39 vs 0.56 ms,
+# 2D store 0.32 vs 0.41 ms per 256 MiB).  =0 restores the gathers.
+TILE_BFLY = os.environ.get("NDZIP_TPU_TILE_BFLY", "1") != "0"
 
 # strided-axis parameters of the block transform on the flat 4096-word
 # layout, in forward axis order (format.FORWARD_AXIS_ORDER):
@@ -609,9 +613,11 @@ def _padded_block_ids(shape, dims, G, gx):
 
 def _load_blocks(blocks_ref, mode, G):
     if mode == "tile2d":
-        return tile_to_blocks_2d(blocks_ref[:], G)
+        return (tile_to_blocks_2d_bfly if TILE_BFLY
+                else tile_to_blocks_2d)(blocks_ref[:], G)
     if mode == "tile3d":
-        return tile_to_blocks_3d(blocks_ref[:], G)
+        return (tile_to_blocks_3d_bfly if TILE_BFLY
+                else tile_to_blocks_3d)(blocks_ref[:], G)
     return blocks_ref[0].reshape(G, 32, LANES)
 
 
@@ -922,9 +928,11 @@ def _select_window_rows(P_f32, w):
 
 def _store_blocks(out_ref, xf, mode, G):
     if mode == "tile2d":
-        out_ref[:] = blocks_to_tile_2d(xf, G)
+        out_ref[:] = (blocks_to_tile_2d_bfly if TILE_BFLY
+                      else blocks_to_tile_2d)(xf, G)
     elif mode == "tile3d":
-        out_ref[:] = blocks_to_tile_3d(xf, G)
+        out_ref[:] = (blocks_to_tile_3d_bfly if TILE_BFLY
+                      else blocks_to_tile_3d)(xf, G)
     else:
         out_ref[0] = xf.reshape(G, fmt.HC_SIZE)
 
@@ -1458,9 +1466,9 @@ def _encode_fp64_device(lo, hi, shape):
     header_u32 = 2 * hw
 
     def border_vals_u32():
-        bi = jnp.asarray(border_idx)             # flat: see fp32 note
         return jnp.stack(
-            [lo.reshape(-1)[bi], hi.reshape(-1)[bi]], axis=-1).reshape(-1)
+            [_border_take(lo, shape), _border_take(hi, shape)],
+            axis=-1).reshape(-1)
 
     if num_hc == 0:
         out = jnp.zeros(bound, jnp.uint32)
@@ -1717,13 +1725,11 @@ def _decode_fp64_device(stream, shape, win=WIN_ROWS):
         arr_lo, arr_hi = flat_lo.reshape(shape), flat_hi.reshape(shape)
 
     if border_idx.size:
-        # N-D scatter on the shaped planes (see _border_nd)
         border_vals = jax.lax.dynamic_slice(
             stream, (header_u32 + 2 * body_total,), (2 * border_idx.size,))
         pairs_b = border_vals.reshape(-1, 2)
-        nd = _border_nd(shape)
-        arr_lo = arr_lo.at[nd].set(pairs_b[:, 0])
-        arr_hi = arr_hi.at[nd].set(pairs_b[:, 1])
+        arr_lo = _border_place(arr_lo, pairs_b[:, 0], shape)
+        arr_hi = _border_place(arr_hi, pairs_b[:, 1], shape)
     return arr_lo, arr_hi
 
 
@@ -1766,14 +1772,97 @@ def _border_indices(shape):
         [np.arange(off, off + cnt, dtype=np.int64) for off, cnt in slices])
 
 
-def _border_nd(shape):
-    """Per-dimension index arrays of the border elements — N-D gathers and
-    scatters on the SHAPED array avoid flattening it: a reshape to flat is
-    free only when the minor dim is lane-aligned; otherwise XLA inserts a
-    full physical relayout copy of the array (the dominant cost for e.g.
-    1800x3600, whose rows are padded to 3712 lanes on TPU)."""
-    return tuple(jnp.asarray(ix.astype(np.int32))
-                 for ix in np.unravel_index(_border_indices(shape), shape))
+def _cat_parts(parts, dtype):
+    if not parts:
+        return jnp.zeros(0, dtype)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
+def _border_take(words, shape):
+    """Border values in stream order (common.hh:245-282) via <= 3
+    static-slice box copies instead of an element-granularity gather.
+
+    border_slices' recursion visits, per leading index p, the innermost
+    bordered axis' runs first and the next axis' run after — so the
+    border decomposes into at most `dims` axis-aligned boxes whose
+    values interleave regularly per p.  Static slices + reshapes let XLA
+    emit dense copies; the flat gather over border_element_count points
+    (57k for 1800x3600) was the dominant cost of bordered-shape codecs."""
+    dims = len(shape)
+    side = fmt.SIDE_LENGTH[dims]
+    if any(s < side for s in shape):
+        return words.reshape(-1)            # whole array is border
+    b = tuple(s // side * side for s in shape)
+    if dims == 1:
+        return words[b[0]:]
+    if dims == 2:
+        (s0, s1), (b0, b1) = shape, b
+        parts = []
+        if b1 < s1:
+            parts.append(words[:b0, b1:].reshape(-1))
+        if b0 < s0:
+            parts.append(words[b0:, :].reshape(-1))
+        return _cat_parts(parts, words.dtype)
+    (s0, s1, s2), (b0, b1, b2) = shape, b
+    parts_p = []                            # per-p interleaved segments
+    if b2 < s2:
+        parts_p.append(words[:b0, :b1, b2:].reshape(b0, -1))
+    if b1 < s1:
+        parts_p.append(words[:b0, b1:, :].reshape(b0, -1))
+    parts = []
+    if parts_p:
+        pp = (parts_p[0] if len(parts_p) == 1
+              else jnp.concatenate(parts_p, axis=1))
+        parts.append(pp.reshape(-1))
+    if b0 < s0:
+        parts.append(words[b0:].reshape(-1))
+    return _cat_parts(parts, words.dtype)
+
+
+def _border_place(arr, bv, shape):
+    """Inverse of _border_take: place the stream-order border vector into
+    the shaped array with <= 3 static-origin dynamic_update_slices —
+    replacing the N-D point scatter (.at[_border_nd].set), which XLA
+    lowers to a serial per-element scatter (the dominant decode cost for
+    bordered 2D/3D shapes)."""
+    dims = len(shape)
+    side = fmt.SIDE_LENGTH[dims]
+    if any(s < side for s in shape):
+        return bv.reshape(shape)
+    b = tuple(s // side * side for s in shape)
+    if dims == 1:
+        if b[0] == shape[0]:
+            return arr
+        return jax.lax.dynamic_update_slice(arr, bv, (b[0],))
+    if dims == 2:
+        (s0, s1), (b0, b1) = shape, b
+        pos = 0
+        if b1 < s1:
+            w = s1 - b1
+            arr = jax.lax.dynamic_update_slice(
+                arr, bv[: b0 * w].reshape(b0, w), (0, b1))
+            pos = b0 * w
+        if b0 < s0:
+            arr = jax.lax.dynamic_update_slice(
+                arr, bv[pos:].reshape(s0 - b0, s1), (b0, 0))
+        return arr
+    (s0, s1, s2), (b0, b1, b2) = shape, b
+    wA = b1 * (s2 - b2)
+    wB = (s1 - b1) * s2
+    per_p = wA + wB
+    pos = b0 * per_p
+    if per_p:
+        V = bv[:pos].reshape(b0, per_p)
+        if wA:
+            arr = jax.lax.dynamic_update_slice(
+                arr, V[:, :wA].reshape(b0, b1, s2 - b2), (0, 0, b2))
+        if wB:
+            arr = jax.lax.dynamic_update_slice(
+                arr, V[:, wA:].reshape(b0, s1 - b1, s2), (0, b1, 0))
+    if b0 < s0:
+        arr = jax.lax.dynamic_update_slice(
+            arr, bv[pos:].reshape(s0 - b0, s1, s2), (b0, 0, 0))
+    return arr
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -1788,7 +1877,7 @@ def _encode_fp32_device(words, shape):
         out = jnp.zeros(bound, jnp.uint32)
         if border_idx.size:
             out = jax.lax.dynamic_update_slice(
-                out, words.reshape(-1)[jnp.asarray(border_idx)], (0,))
+                out, _border_take(words, shape), (0,))
         return out, jnp.int32(border_idx.size)
 
     G = _g_tiled(shape, dims, G_ENC)
@@ -1809,11 +1898,7 @@ def _encode_fp32_device(words, shape):
     flat = body2d.reshape(-1)
     out = jax.lax.dynamic_update_slice(flat, header, (0,))
     if border_idx.size:
-        # flat indexing: XLA composes reshape+gather into one shaped
-        # gather (free), and it measured faster than an explicit
-        # 2D-index gather; the N-D form only pays off for the decode
-        # SCATTER, which cannot see through the reshape (see _border_nd)
-        border_vals = words.reshape(-1)[jnp.asarray(border_idx)]
+        border_vals = _border_take(words, shape)
         out = jax.lax.dynamic_update_slice(out, border_vals, (num_hc + body_total,))
     length = num_hc + body_total + border_idx.size
     out = out[:bound]
@@ -1861,11 +1946,9 @@ def _decode_fp32_device(stream, shape, win=WIN_ROWS):
         arr = flat.reshape(shape)
 
     if border_idx.size:
-        # N-D scatter on the shaped array — flattening an unaligned-width
-        # array costs a full relayout copy each way (see _border_nd)
         border_vals = jax.lax.dynamic_slice(
             stream, (num_hc + body_total,), (border_idx.size,))
-        arr = arr.at[_border_nd(shape)].set(border_vals)
+        arr = _border_place(arr, border_vals, shape)
     return arr
 
 

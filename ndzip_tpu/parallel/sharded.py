@@ -476,12 +476,11 @@ def _build_compress_device(shape, wb, mesh, nwords):
                 out, bodies[k], (header_u32 + cum[k] * word_u32,))
         border_words = jnp.int32(0)
         if border_idx.size:
-            idx = jnp.asarray(border_idx)
             if wb == 32:
-                bv = words[0].reshape(-1)[idx]
+                bv = codec_pallas._border_take(words[0], shape)
             else:
-                bl = words[0].reshape(-1)[idx]
-                bh = words[1].reshape(-1)[idx]
+                bl = codec_pallas._border_take(words[0], shape)
+                bh = codec_pallas._border_take(words[1], shape)
                 bv = jnp.stack([bl, bh], axis=-1).reshape(-1)
             out = jax.lax.dynamic_update_slice(
                 out, bv, (header_u32 + total_words * word_u32,))
@@ -597,12 +596,11 @@ def _build_compress_device_ring(shape, wb, mesh, nwords):
                                    jnp.uint32)], axis=0)
             ws.append(jax.lax.with_sharding_constraint(wi, sh))
         if border_idx.size:
-            idx = jnp.asarray(border_idx)
             if wb == 32:
-                bv = words[0].reshape(-1)[idx]
+                bv = codec_pallas._border_take(words[0], shape)
             else:
-                bl = words[0].reshape(-1)[idx]
-                bh = words[1].reshape(-1)[idx]
+                bl = codec_pallas._border_take(words[0], shape)
+                bh = codec_pallas._border_take(words[1], shape)
                 bv = jnp.stack([bl, bh], axis=-1).reshape(-1)
         else:
             bv = jnp.zeros(1, jnp.uint32)
@@ -879,7 +877,6 @@ def _build_assemble(shape, dtype, mesh, ctx):
     int_rows = ctx.grid[0] * ctx.side
     trailing = tuple(g * ctx.side for g in ctx.grid[1:])
     bcnt = fmt.border_element_count(shape)
-    nd = codec_pallas._border_nd(shape) if bcnt else None
 
     # jit out_shardings need dim-0 divisibility; for ragged shapes let
     # GSPMD place the output (still mesh-distributed, partial last shard)
@@ -897,7 +894,7 @@ def _build_assemble(shape, dtype, mesh, ctx):
             full = jnp.zeros(shape, jnp.uint32)
             full = jax.lax.dynamic_update_slice(full, interior, origin)
             if bcnt:
-                full = full.at[nd].set(bv)
+                full = codec_pallas._border_place(full, bv, shape)
             return full
         pairs = ol.reshape(
             (n * ctx.rows_per_shard,) + trailing + (2,))[:int_rows]
@@ -907,8 +904,8 @@ def _build_assemble(shape, dtype, mesh, ctx):
             jnp.zeros(shape, jnp.uint32), pairs[..., 1], origin)
         if bcnt:
             bp = bv.reshape(-1, 2)
-            flo = flo.at[nd].set(bp[:, 0])
-            fhi = fhi.at[nd].set(bp[:, 1])
+            flo = codec_pallas._border_place(flo, bp[:, 0], shape)
+            fhi = codec_pallas._border_place(fhi, bp[:, 1], shape)
         return flo, fhi
 
     return assemble
