@@ -112,11 +112,11 @@ step stage_probe 3600 python dev/kernel_stage_probe.py
 # 7. Warm-cache first-call latency (VERDICT: warmed shape < 5 s).
 step warm_first_call 1800 bash -c '
 python -m ndzip_tpu.warm --shapes 16777216 --dtype float &&
-/usr/bin/time -v python - <<EOF
+python - <<EOF
 import time, numpy as np
 t0 = time.time()
 import ndzip_tpu
-data = np.sin(np.arange(2**24, dtype=np.float32)*1e-4)
+data = np.sin(np.arange(2**24, dtype=np.float32)*1e-4).astype(np.float32)
 stream, n = ndzip_tpu.compress(data)
 print("first-call wall s:", time.time() - t0)
 EOF'

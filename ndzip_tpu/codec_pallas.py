@@ -106,6 +106,15 @@ PADDED_TILES = os.environ.get("NDZIP_TPU_PADDED_TILES", "1") != "0"
 # gathers on v5e (dev/hw_logs_r4/tile_xpose.log: 3D 0.39 vs 0.56 ms,
 # 2D store 0.32 vs 0.41 ms per 256 MiB).  =0 restores the gathers.
 TILE_BFLY = os.environ.get("NDZIP_TPU_TILE_BFLY", "1") != "0"
+# Encode assembly on the MXU (r4 experiment, measured on v5e and NOT
+# adopted): the row-offset scan as one triangular bf16 matmul
+# (_row_prefix_excl_mxu) was a wash (32.9 vs 33.3 GB/s) and the step
+# merge as one-hot matmul sums (_merge_rows_sum_mxu) lost outright
+# (27.6 GB/s — the 4 u8-quarter (2R,R)x(2R,128) contractions plus
+# extract/recombine exceed the gated OR-merge butterfly).  Both stay
+# behind env vars for re-evaluation on other TPU generations.
+MXU_SCAN = os.environ.get("NDZIP_TPU_MXU_SCAN", "0") == "1"
+MXU_MERGE = os.environ.get("NDZIP_TPU_MXU_MERGE", "0") == "1"
 
 # strided-axis parameters of the block transform on the flat 4096-word
 # layout, in forward axis order (format.FORWARD_AXIS_ORDER):
@@ -676,7 +685,8 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         # lanes), which is exactly merge_rows_or's contract.
         lane_cs = fv.lane_count_prefix(valid)
         cnt = jnp.broadcast_to(lane_cs[:, LANES - 1 :], (R, LANES))
-        off = _row_prefix_excl(cnt, R)
+        off = (_row_prefix_excl_mxu(cnt, R) if MXU_SCAN
+               else _row_prefix_excl(cnt, R))
         rot = off & (LANES - 1)
         prow = off >> 7
         j = (cols - rot) & (LANES - 1)
@@ -684,14 +694,18 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
         (comp,), _ = fv.compact_rows((step_flat,), s_local)
         (part,) = rotate_rows_to_offset((comp,), j, can)
-        s_merge = jnp.where(
-            can, rows - prow - (cols < rot).astype(jnp.int32), -1)
-        # shifts r - prow(r) are non-decreasing in r (prow steps by <= 1
-        # per row), so the last row bounds every live shift — high merge
-        # rounds are skipped at runtime when compression this step cannot
-        # reach them (they only fire on near-empty steps)
-        ms = (R - 1) - (off[R - 1, 0] >> 7) if MERGE_GATE else None
-        (merged,) = fv.merge_rows_or((part,), s_merge, ms)
+        if MXU_MERGE:
+            (merged,) = _merge_rows_sum_mxu((part,), prow, rot)
+        else:
+            s_merge = jnp.where(
+                can, rows - prow - (cols < rot).astype(jnp.int32), -1)
+            # shifts r - prow(r) are non-decreasing in r (prow steps by
+            # <= 1 per row), so the last row bounds every live shift —
+            # high merge rounds are skipped at runtime when compression
+            # this step cannot reach them (they only fire on near-empty
+            # steps)
+            ms = (R - 1) - (off[R - 1, 0] >> 7) if MERGE_GATE else None
+            (merged,) = fv.merge_rows_or((part,), s_merge, ms)
         # the previous step's output DMAs read staging/hdr_row; waiting
         # immediately before the first overwrite of those buffers lets
         # them overlap this step's whole compute phase (transform/
@@ -903,6 +917,63 @@ def _row_prefix_excl(x, nrows):
         inc = jnp.where(rows >= k, inc + rolled, inc)
         k <<= 1
     return jnp.where(rows >= 1, pltpu.roll(inc, shift=1, axis=x.ndim - 2), 0)
+
+
+def _row_prefix_excl_mxu(cnt, R):
+    """Exclusive row prefix of the (R, 128) lane-broadcast row totals as
+    ONE strictly-lower-triangular bf16 matmul: totals <= 128 are exact in
+    bf16 and every prefix (< R*128 < 2^24) is exact in the f32
+    accumulator.  Replaces the log2(R) full-width roll rounds of
+    _row_prefix_excl in the encode kernels — prefix work moves to the
+    otherwise-idle MXU."""
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    o_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    T = (r_i < o_i).astype(jnp.float32).astype(jnp.bfloat16)
+    cb = cnt.astype(jnp.float32).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        T, cb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32)
+
+
+def _merge_rows_sum_mxu(parts, prow, rot):
+    """The step merge as one-hot matmuls: row r's unwrapped lanes land in
+    output row prow[r], its wrapped lanes (cols < rot[r]) in prow[r]+1,
+    and same-destination contributions occupy disjoint lanes — so the
+    OR-merge is a SUM, i.e. an MXU contraction with the one-hot
+    destination matrix (cf. merge_rows_or's butterfly, which does the
+    same routing in log2(R) VPU roll rounds).  u8 quarters keep u32
+    values exact (one-hot x bytes in bf16, f32 accumulate).  `parts` is a
+    tuple of (R, 128) planes with dead slots already zeroed; prow/rot are
+    (R, 128) lane-broadcast."""
+    R = parts[0].shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    wrap = cols < rot
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    o_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    p_col = prow[:, 0:1]
+    # bool -> i32 -> f32 -> bf16, the chain Mosaic accepts (cf.
+    # heads_via_matmul; a direct i1 vector cast is rejected)
+    M = jnp.concatenate(
+        [(p_col == o_i).astype(jnp.int32),
+         (p_col + 1 == o_i).astype(jnp.int32)], axis=0)
+    Mb = M.astype(jnp.float32).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+    outs = []
+    for v in parts:
+        stacked = jnp.concatenate(
+            [jnp.where(wrap, _u32(0), v), jnp.where(wrap, v, _u32(0))],
+            axis=0)
+        acc = None
+        for sh in (0, 8, 16, 24):
+            # cast chain as in _select_window_rows: byte extract in u32,
+            # u32->i32->f32->bf16 (Mosaic has no direct u32<->f32 casts)
+            q = ((stacked >> _u32(sh)) & _u32(0xFF)).astype(jnp.int32)
+            qb = q.astype(jnp.float32).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                Mb, qb, dn, preferred_element_type=jnp.float32).astype(jnp.int32)
+            acc = s if acc is None else acc | (s << sh)
+        outs.append(acc.astype(jnp.uint32))
+    return tuple(outs)
 
 
 def _select_window_rows(P_f32, w):
@@ -1311,7 +1382,8 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         # co-routed on the shared shift plane.
         lane_cs = fv.lane_count_prefix(valid)
         cnt = jnp.broadcast_to(lane_cs[:, LANES - 1 :], (R, LANES))
-        off = _row_prefix_excl(cnt, R)
+        off = (_row_prefix_excl_mxu(cnt, R) if MXU_SCAN
+               else _row_prefix_excl(cnt, R))
         csum = off + cnt
         rot = off & (LANES - 1)
         prow = off >> 7
@@ -1320,11 +1392,14 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         s_local = jnp.where(valid != 0, cols + 1 - lane_cs, -1)
         (comp_lo, comp_hi), _ = fv.compact_rows((step_lo, step_hi), s_local)
         part_lo, part_hi = rotate_rows_to_offset((comp_lo, comp_hi), j, can)
-        s_merge = jnp.where(
-            can, rows - prow - (cols < rot).astype(jnp.int32), -1)
-        # see the fp32 kernel's note
-        ms = (R - 1) - (off[R - 1, 0] >> 7) if MERGE_GATE else None
-        c_lo, c_hi = fv.merge_rows_or((part_lo, part_hi), s_merge, ms)
+        if MXU_MERGE:
+            c_lo, c_hi = _merge_rows_sum_mxu((part_lo, part_hi), prow, rot)
+        else:
+            s_merge = jnp.where(
+                can, rows - prow - (cols < rot).astype(jnp.int32), -1)
+            # see the fp32 kernel's note
+            ms = (R - 1) - (off[R - 1, 0] >> 7) if MERGE_GATE else None
+            c_lo, c_hi = fv.merge_rows_or((part_lo, part_hi), s_merge, ms)
         stag_lo[:] = c_lo
         stag_hi[:] = c_hi
         # the previous step's output DMAs read stag32/hdr_row (stag_lo/hi
