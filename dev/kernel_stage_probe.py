@@ -102,6 +102,9 @@ def _dec_probe(shape):
     hs[:gl] = g[:gl]
     sd = jnp.asarray(hs)
 
+    win = cp._win_from_env() or cp.win_rows_for(
+        cp.max_block_words(hs, shape, 32))
+
     def run():
         def make(reps):
             @jax.jit
@@ -110,7 +113,7 @@ def _dec_probe(shape):
                     s_, acc = carry
                     s_ = jax.lax.dynamic_update_slice(
                         s_, i.astype(jnp.uint32)[None], (s_.shape[0] - 1,))
-                    w = cp._decode_fp32_device(s_, shape)
+                    w = cp._decode_fp32_device(s_, shape, win)
                     return s_, acc + jax.lax.bitcast_convert_type(
                         w.reshape(-1)[0], jnp.int32)
                 return jax.lax.fori_loop(0, reps, body, (s, jnp.int32(0)))[1]

@@ -95,6 +95,10 @@ def _env_g(name, default):
 G_ENC = _env_g("NDZIP_TPU_G_ENC", 8)        # encode, both dtypes
 G_DEC = _env_g("NDZIP_TPU_G_DEC", 16)       # fp32 decode
 G_DEC64 = _env_g("NDZIP_TPU_G_DEC64", 16)   # fp64 decode
+# Cap for EXACT minor-axis tilings the fp32 decode may pick above G_DEC
+# (see _g_tiled_padded): 56 stays inside the ~16 MB VMEM budget (G=64
+# fp32 decode brushes it) and covers the CESM-class 56-column grids.
+G_EXACT_CAP = _env_g("NDZIP_TPU_G_EXACT_CAP", 56)
 
 # Runtime kill-switches for individually-landed kernel changes, so a
 # hardware-window regression bisects by rerunning with an env var instead
@@ -571,13 +575,24 @@ def _g_tiled(shape, dims, largest):
     return None
 
 
-def _g_tiled_padded(shape, dims, largest, max_pad=0.2):
+def _g_tiled_padded(shape, dims, largest, max_pad=0.2, exact_cap=None):
     """(G, gx) for the PADDED tiled decode: the minor block-grid axis is
     rounded up to gx tiles of G blocks each, the shortfall filled with
     fake blocks.  Fake blocks re-decode the row's last real block into
     tile regions that are either clipped (outside the array) or border
     cells that the caller's scatter overwrites, so they only cost
     throughput — accepted while the padding fraction is <= max_pad.
+
+    G selection minimizes estimated work = total_slots * (1 + C/G)
+    (C ~ 3 grid steps of fixed overhead, fit from the CESM G sweep,
+    dev/cesm_g_probe.py) over two candidate families:
+      * padded Gs up to `largest` (the configured knob), as before;
+      * EXACT tilings (gm % G == 0, zero fake blocks) up to `exact_cap`,
+        which may exceed `largest` — measured on CESM (grid 28x56):
+        44.1 GB/s at the exact G=56 vs 36.6 at the padded G=16.
+    `exact_cap` defaults to `largest`; the fp32 decoders raise it to
+    G_EXACT_CAP (56 — G=64 fp32 decode brushes the ~16 MB VMEM budget,
+    and the fp64 planes double per-G VMEM so fp64 keeps the default).
     Returns None for 1D or when every candidate pads too much (the
     gather route is better then)."""
     if dims == 1 or not PADDED_TILES:     # kill-switch -> gather route
@@ -587,13 +602,19 @@ def _g_tiled_padded(shape, dims, largest, max_pad=0.2):
     if any(s < side for s in shape):
         return None                       # no full blocks at all
     gm = grid[-1]
-    G = largest
+    cap = max(largest, exact_cap or 0)
+    best = None  # (cost, G, gx)
+    G = cap
     while G >= 8:
         gx = -(-gm // G)
-        if (gx * G - gm) / gm <= max_pad:
-            return G, gx
+        exact = gx * G == gm
+        ok = exact if G > largest else (gx * G - gm) / gm <= max_pad
+        if ok:
+            cost = gx * G * (1.0 + 3.0 / G)
+            if best is None or cost < best[0] - 1e-9:
+                best = (cost, G, gx)
         G -= 8  # stay on the 8-block granularity the tile adapters slice
-    return None
+    return None if best is None else (best[1], best[2])
 
 
 def _tiled_layout_padded(shape, dims, G, gx):
@@ -2001,7 +2022,7 @@ def _decode_fp32_device(stream, shape, win=WIN_ROWS):
 
         rows = (stream.shape[0]) // LANES
         stream2d = stream[: rows * LANES].reshape(rows, LANES)
-        tc = _g_tiled_padded(shape, dims, G_DEC)
+        tc = _g_tiled_padded(shape, dims, G_DEC, exact_cap=G_EXACT_CAP)
         if tc is not None:
             G_t, gx = tc
             ids = jnp.asarray(_padded_block_ids(shape, dims, G_t, gx))

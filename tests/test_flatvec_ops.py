@@ -220,6 +220,23 @@ class TestLayoutHelpers:
         assert cp._g_tiled_padded((256, 256, 256), 3, 32) == (16, 1)
         assert cp._g_tiled_padded((2**20,), 1, 32) is None
 
+    def test_g_policy_prefers_exact_tiling_above_largest(self):
+        """With exact_cap, the decode G policy picks a zero-fake-block
+        EXACT minor-axis tiling above the configured batch knob when its
+        modeled cost wins (measured 44.1 vs 36.6 GB/s on CESM,
+        dev/cesm_g_probe.py)."""
+        shape = (1800, 3600)  # grid 28x56
+        assert cp._g_tiled_padded(shape, 2, 16, exact_cap=56) == (56, 1)
+        assert cp._g_tiled_padded(shape, 2, 32, exact_cap=56) == (56, 1)
+        # above `largest` only exact tilings qualify: gm=26 has no
+        # multiple-of-8 divisor, every padded option exceeds max_pad
+        assert cp._g_tiled_padded((128, 64 * 26), 2, 8, exact_cap=56) is None
+        # a large-G padded candidate within `largest` still loses to a
+        # slightly smaller exact one on the cost model (gm=40, pad 20%)
+        assert cp._g_tiled_padded((128, 64 * 40), 2, 48) == (40, 1)
+        # 1D and fp64-default behavior unchanged by the cap default
+        assert cp._g_tiled_padded((512, 512, 512), 3, 16) == (16, 2)
+
     def test_heads_via_matmul_matches_or(self):
         body = RNG.integers(0, 2**32, (2, 32, 128), dtype=np.uint32)
         body[body % 3 == 0] = 0  # plenty of zero words

@@ -119,6 +119,20 @@ def test_pallas_non_power_of_two_g(monkeypatch):
     assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
 
 
+def test_pallas_exact_g_above_knob_roundtrip(monkeypatch):
+    """The decode G policy may pick an EXACT minor-axis tiling larger
+    than G_DEC (zero fake blocks, fewer grid steps — the CESM win); the
+    compiled path must round-trip bit-exactly at that batch size."""
+    monkeypatch.setattr(codec_pallas, "G_DEC", 8)
+    shape = (64, 64 * 24)  # grid (1, 24): exact G=24 > G_DEC=8
+    assert codec_pallas._g_tiled_padded(
+        shape, 2, 8, exact_cap=codec_pallas.G_EXACT_CAP) == (24, 1)
+    data = make_data(shape)
+    g, gl = golden.compress(data)
+    out = codec_pallas.decompress(g, shape, np.float32)
+    assert np.array_equal(out.view(np.uint32), data.view(np.uint32))
+
+
 @pytest.mark.parametrize("dt", [np.float32, np.float64])
 def test_pallas_adaptive_win_roundtrip(dt):
     """Decode with the smallest window bucket the stream's header allows
