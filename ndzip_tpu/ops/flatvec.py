@@ -215,21 +215,27 @@ def compact_rows(values, s):
     blows up exponentially in the gather-chain depth (>10 min for a
     fresh kernel vs ~1 min with this butterfly; a VMEM store/load
     barrier between rounds does not reset it).  Roll/select butterflies
-    compile fine, so this stays the production path."""
+    compile fine, so this stays the production path.
+
+    Each round skips the roll edge mask: a wrapped partner comes from a
+    lane l' < k whose remaining shift is a multiple of k (low bits
+    already consumed) and <= l' < k (the destination l' - shift is
+    non-negative for any valid left-compaction input), hence exactly 0 —
+    its round bit is always clear, so it can never read as incoming.
+    Dead slots carry _DEAD_BIT (bit 30), clear at every round bit k <
+    128.  `ss - k` is `ss ^ k` because an incoming slot has bit k set."""
     single = not isinstance(values, tuple)
     vals = (values,) if single else values
-    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
     dead = jnp.full((), _DEAD_BIT, s.dtype)
     s = jnp.where(s < 0, dead, s)
     k = 1
     while k < LANES:
         ss = _roll(s, LANES - k, s.ndim - 1)               # s[l + k]
-        ss = jnp.where(cols < LANES - k, ss, dead)
         incoming = (ss & k) != 0
         move = (s & k) != 0
         vals = tuple(jnp.where(incoming, _roll(v, LANES - k, v.ndim - 1), v)
                      for v in vals)
-        s = jnp.where(incoming, ss - k, jnp.where(move, dead, s))
+        s = jnp.where(incoming, ss ^ k, jnp.where(move, dead, s))
         k <<= 1
     return (vals[0] if single else vals), s
 
@@ -259,9 +265,14 @@ def merge_rows_or(values, s, max_shift=None):
     per-plane round update to base = move ? 0 : v; v = incoming ?
     base | v_in : base — a mover that vacates leaves 0 behind, so an
     arrival never needs a separate live-stayer test (OR with 0 is the
-    replacement case)."""
+    replacement case).
+
+    As in compact_rows, rounds skip the roll edge mask: a wrapped
+    partner comes from a row r' < k whose remaining upward shift is a
+    multiple of k and <= r' (destination row r' - shift >= 0), hence 0 —
+    its round bit is always clear.  _DEAD_BIT (bit 30) is clear at every
+    round bit (k <= R < 2^30), and `ss - k` is `ss ^ k`."""
     R = s.shape[-2]
-    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 2)
     dead = jnp.full((), _DEAD_BIT, s.dtype)
     vals = tuple(jnp.where(s < 0, jnp.zeros((), v.dtype), v) for v in values)
     s = jnp.where(s < 0, dead, s)
@@ -270,7 +281,6 @@ def merge_rows_or(values, s, max_shift=None):
         def round_k(vals_s, k=k):
             vals, s = vals_s[:-1], vals_s[-1]
             ss = _roll(s, R - k, s.ndim - 2)               # s[r + k]
-            ss = jnp.where(rows < R - k, ss, dead)
             incoming = (ss & k) != 0
             move = (s & k) != 0
             new_vals = []
@@ -278,7 +288,7 @@ def merge_rows_or(values, s, max_shift=None):
                 v_in = _roll(v, R - k, v.ndim - 2)
                 base = jnp.where(move, jnp.zeros((), v.dtype), v)
                 new_vals.append(jnp.where(incoming, base | v_in, base))
-            s = jnp.where(incoming, ss - k, jnp.where(move, dead, s))
+            s = jnp.where(incoming, ss ^ k, jnp.where(move, dead, s))
             return (*new_vals, s)
         if max_shift is not None and k >= 64:
             vals_s = jax.lax.cond(max_shift >= k, round_k,
