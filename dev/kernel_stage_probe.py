@@ -77,7 +77,7 @@ def _enc_probe(shape):
         ("rowmerge", fv, "merge_rows_or",
          lambda values, s, max_shift=None: values),
         ("lanecnt", fv, "lane_count_prefix",
-         lambda v: jnp.broadcast_to(jnp.ones_like(v), v.shape)),
+         lambda v, **k: jnp.broadcast_to(jnp.ones_like(v), v.shape)),
         ("rowscan", cp, "_row_prefix_excl", lambda x, nrows: x),
         ("rotgather", cp, "rotate_rows_to_offset",
          lambda planes, j, can: planes),
@@ -128,7 +128,7 @@ def _dec_probe(shape):
         ("rowselect", cp, "_select_window_rows",
          lambda P, w: jnp.zeros(P.shape[:2] + (128,), jnp.uint32)),
         ("lanecnt", fv, "lane_count_prefix",
-         lambda v: jnp.broadcast_to(jnp.ones_like(v), v.shape)),
+         lambda v, **k: jnp.broadcast_to(jnp.ones_like(v), v.shape)),
         ("rowprefix", cp, "_row_prefix_excl", lambda x, nr, **k: x),
     ]
     return run, stubs

@@ -119,6 +119,17 @@ TILE_BFLY = os.environ.get("NDZIP_TPU_TILE_BFLY", "1") != "0"
 # behind env vars for re-evaluation on other TPU generations.
 MXU_SCAN = os.environ.get("NDZIP_TPU_MXU_SCAN", "0") == "1"
 MXU_MERGE = os.environ.get("NDZIP_TPU_MXU_MERGE", "0") == "1"
+# int8 MXU path for the byte-quartered matmuls (decode row select, lane
+# count prefix, lane-segment cumsums of the inverse transform): v5e
+# executes s8 x s8 -> s32 contractions at 2x the bf16 rate AND the
+# operands skip the int->f32->bf16 cast chains (byte quarters are
+# bias-128 shifted into s8; the bias folds back out as one static
+# correction — see _select_window_rows / _lane_segment_cumsum_u32).
+# DEFAULT ON since the r5 hardware A/B (dev/hw_logs_r5/, same window,
+# bit-exact verify): fp32 1D decode 66.2 vs 58.4 GB/s, fp64 1D 52.1 vs
+# 46.9, CESM 2D 51.2 vs 41.2, 256^3 45.5 vs 43.2; encode within noise.
+# =0 restores the bf16 u8-quarter matmuls (kill-switch, HW_PLAYBOOK).
+I8_MM = os.environ.get("NDZIP_TPU_I8_MM", "1") != "0"
 
 # strided-axis parameters of the block transform on the flat 4096-word
 # layout, in forward axis order (format.FORWARD_AXIS_ORDER):
@@ -428,16 +439,42 @@ def _lane_tri_mask(seg):
     return ok.astype(jnp.float32).astype(jnp.bfloat16)
 
 
+def _seg_pos_plus1_u32(shape, ndim, seg):
+    """(lane % seg) + 1 as uint32 — the prefix length at each lane of a
+    `seg`-segmented in-row scan (the bias-fold count for the i8 path)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, ndim - 1)
+    return ((lane % seg) + 1).astype(jnp.uint32)
+
+
 def _lane_segment_cumsum_u32(x, seg):
     """Wrapping uint32 inclusive cumsum within `seg`-lane segments (seg <=
     128, stride 1) via four u8-quarter matmuls: u8 inputs are exact in
     bf16, quarter sums (<= 128*255) exact in the f32 accumulator, and the
     int32 recombination (cs3<<24)+(cs2<<16)+(cs1<<8)+cs0 wraps to exactly
     the mod-2^32 prefix sum.  Replaces log2(seg) roll rounds of the
-    inverse Lorenzo transform with MXU work."""
-    M = _lane_tri_mask(seg)
+    inverse Lorenzo transform with MXU work.
+
+    Under I8_MM the quarters run as s8 x s8 -> s32 (2x MXU rate, no cast
+    chains): bytes are bias-shifted by -128 into s8, and because lane l's
+    prefix sums exactly (l % seg) + 1 entries, the per-quarter bias folds
+    across the <<8k recombination into ONE wrapping correction
+    (l%seg + 1) * 0x80808080."""
+    M = _lane_tri_mask(seg) if not I8_MM else None
     dn = (((x.ndim - 1,), (0,)), ((), ()))
     xi = x.astype(jnp.int32)
+    if I8_MM:
+        m_r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        m_c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        M8 = ((m_r <= m_c) & ((m_r // seg) == (m_c // seg))).astype(jnp.int8)
+        acc = None
+        for k in range(4):
+            q8 = (((xi >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
+            cs = jax.lax.dot_general(
+                q8, M8, dn, preferred_element_type=jnp.int32)
+            term = cs << (8 * k)
+            acc = term if acc is None else acc + term
+        corr = _seg_pos_plus1_u32(x.shape, x.ndim, seg) * _u32(0x80808080)
+        return acc.astype(jnp.uint32) + corr
     acc = None
     for k in range(4):
         q = ((xi >> (8 * k)) & 0xFF).astype(jnp.float32).astype(jnp.bfloat16)
@@ -491,9 +528,36 @@ def _quarter_prefix(x, M, dn):
 def _lane_segment_cumsum_pair(lo, hi, seg):
     """Wrapping uint64 in-segment prefix sum on (lo, hi) planes.  The lo
     plane's carry into hi is exact in int32: with A = cs0 + (cs1<<8) and
-    B = cs2 + (cs3<<8) (both <= 2^23), carry = (B + (A>>16)) >> 16."""
-    M = _lane_tri_mask(seg)
+    B = cs2 + (cs3<<8) (both <= 2^23), carry = (B + (A>>16)) >> 16.
+
+    Under I8_MM each quarter runs s8 x s8 -> s32 with the bias restored
+    PER QUARTER (+ (l%seg + 1) * 128, exact nonneg int32) because the
+    carry algebra needs the true quarter prefix values, not just their
+    mod-2^32 recombination."""
     dn = (((lo.ndim - 1,), (0,)), ((), ()))
+    if I8_MM:
+        m_r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        m_c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        M8 = ((m_r <= m_c) & ((m_r // seg) == (m_c // seg))).astype(jnp.int8)
+        corr = (_seg_pos_plus1_u32(lo.shape, lo.ndim, seg)
+                .astype(jnp.int32) << 7)
+
+        def _quarter_prefix_i8(x):
+            xi = x.astype(jnp.int32)
+            return [jax.lax.dot_general(
+                        (((xi >> (8 * k)) & 0xFF) - 128).astype(jnp.int8),
+                        M8, dn, preferred_element_type=jnp.int32) + corr
+                    for k in range(4)]
+
+        c0, c1, c2, c3 = _quarter_prefix_i8(lo)
+        h0, h1, h2, h3 = _quarter_prefix_i8(hi)
+        A = c0 + (c1 << 8)        # <= 2^23, exact in int32
+        B = c2 + (c3 << 8)        # <= 2^23, exact in int32
+        lo_cs = (A + (B << 16)).astype(jnp.uint32)
+        carry = (B + (A >> 16)) >> 16
+        hi_cs = (h0 + (h1 << 8) + (h2 << 16) + (h3 << 24) + carry).astype(jnp.uint32)
+        return lo_cs, hi_cs
+    M = _lane_tri_mask(seg)
     c0, c1, c2, c3 = _quarter_prefix(lo, M, dn)
     A = c0 + (c1 << 8)        # <= 2^23, exact in int32
     B = c2 + (c3 << 8)        # <= 2^23, exact in int32
@@ -704,7 +768,7 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
         # destinations are monotone (a wrapping row forces every later row
         # to a strictly larger prow, and tied destinations occupy disjoint
         # lanes), which is exactly merge_rows_or's contract.
-        lane_cs = fv.lane_count_prefix(valid)
+        lane_cs = fv.lane_count_prefix(valid, i8=I8_MM)
         cnt = jnp.broadcast_to(lane_cs[:, LANES - 1 :], (R, LANES))
         off = (_row_prefix_excl_mxu(cnt, R) if MXU_SCAN
                else _row_prefix_excl(cnt, R))
@@ -776,12 +840,14 @@ def _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode="flat"):
     return kernel, R
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _encode_blocks_fp32(blocks, dims, num_hc, start_word=None):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _encode_blocks_fp32(blocks, dims, num_hc, start_word=None, min_rows=0):
     """blocks: (nb_pad, 4096) uint32 (padded to a multiple of G_ENC).
     Returns (body2d (rows,128) u32 with stream words from word `start_word`
     (default num_hc) onward, hdr2d (nsteps,128) u32 with G_ENC entries per
-    row)."""
+    row).  ``min_rows`` grows the output buffer (callers that assemble the
+    final stream in place size it to bound + decode slack up front, so no
+    bound-slice/pad copy runs after the kernel)."""
     if start_word is None:
         start_word = num_hc
     nb_pad = blocks.shape[0]
@@ -789,6 +855,7 @@ def _encode_blocks_fp32(blocks, dims, num_hc, start_word=None):
     nsteps = nb_pad // G
     R = 1 + G * 33
     bound_rows = (start_word + nb_pad * (128 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
+    bound_rows = max(bound_rows, min_rows)
     kernel, R = _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word)
     body, hdr = pl.pallas_call(
         kernel,
@@ -813,13 +880,14 @@ def _encode_blocks_fp32(blocks, dims, num_hc, start_word=None):
     return body, hdr
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _encode_interior_fp32(words, shape, num_hc, G, start_word=None):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _encode_interior_fp32(words, shape, num_hc, G, start_word=None, min_rows=0):
     """Tiled fast-path encode over the full array: multi-block tiles are
     DMA'd directly by the pipeline (no XLA gather transpose) and
     rearranged in-VMEM; border regions are never indexed (see
     _tiled_layout).  start_word=0 emits a body-only span (per-shard
-    encodes); the default (num_hc) leaves room for the header."""
+    encodes); the default (num_hc) leaves room for the header.
+    ``min_rows`` as in _encode_blocks_fp32."""
     if start_word is None:
         start_word = num_hc
     dims = len(shape)
@@ -827,6 +895,7 @@ def _encode_interior_fp32(words, shape, num_hc, G, start_word=None):
     nsteps = num_hc // G
     R = 1 + G * 33
     bound_rows = (start_word + num_hc * (128 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
+    bound_rows = max(bound_rows, min_rows)
     mode = "tile2d" if dims == 2 else "tile3d"
     kernel, R = _encode_kernel_fp32(dims, num_hc, G, nsteps, start_word, mode)
     body, hdr = pl.pallas_call(
@@ -942,17 +1011,28 @@ def _row_prefix_excl(x, nrows):
 
 def _row_prefix_excl_mxu(cnt, R):
     """Exclusive row prefix of the (R, 128) lane-broadcast row totals as
-    ONE strictly-lower-triangular bf16 matmul: totals <= 128 are exact in
-    bf16 and every prefix (< R*128 < 2^24) is exact in the f32
-    accumulator.  Replaces the log2(R) full-width roll rounds of
+    ONE strictly-lower-triangular matmul.  bf16 variant: totals <= 128
+    are exact in bf16 and every prefix (< R*128 < 2^24) is exact in the
+    f32 accumulator.  Under I8_MM the totals are bias-shifted by -128
+    into s8 (cnt <= 128 itself does NOT fit) and the bias is restored as
+    +128*row (the strict-lower prefix length is the row index) — s32
+    exact throughout.  Replaces the log2(R) full-width roll rounds of
     _row_prefix_excl in the encode kernels — prefix work moves to the
     otherwise-idle MXU."""
     r_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
     o_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    dn = (((0,), (0,)), ((), ()))
+    if I8_MM:
+        T8 = (r_i < o_i).astype(jnp.int8)
+        c8 = (cnt - 128).astype(jnp.int8)
+        out = jax.lax.dot_general(
+            T8, c8, dn, preferred_element_type=jnp.int32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, cnt.shape, cnt.ndim - 2)
+        return out + (rows << 7)
     T = (r_i < o_i).astype(jnp.float32).astype(jnp.bfloat16)
     cb = cnt.astype(jnp.float32).astype(jnp.bfloat16)
     out = jax.lax.dot_general(
-        T, cb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        T, cb, dn, preferred_element_type=jnp.float32)
     return out.astype(jnp.int32)
 
 
@@ -972,13 +1052,42 @@ def _merge_rows_sum_mxu(parts, prow, rot):
     r_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
     o_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     p_col = prow[:, 0:1]
+    dn = (((0,), (0,)), ((), ()))
+    if I8_MM:
+        # s8 variant: each output slot's TRUE contribution is a single
+        # byte (dead slots and disjoint lanes contribute exact zeros), so
+        # the -128 bias enters once per SOURCE slot routed to the output:
+        # true_k = dot_k + 128*count[o], where count[o] = number of
+        # source slots with destination o — data-dependent, recovered
+        # with one extra all-ones matmul shared by every quarter/plane.
+        # Across the <<8k recombination the count bias folds to
+        # count * 0x80808080 (mod 2^32).
+        M8 = jnp.concatenate(
+            [(p_col == o_i), (p_col + 1 == o_i)], axis=0).astype(jnp.int8)
+        ones8 = jnp.ones((2 * R, LANES), jnp.int8)
+        count = jax.lax.dot_general(
+            M8, ones8, dn, preferred_element_type=jnp.int32)
+        bias = count.astype(jnp.uint32) * _u32(0x80808080)
+        outs = []
+        for v in parts:
+            stacked = jnp.concatenate(
+                [jnp.where(wrap, _u32(0), v), jnp.where(wrap, v, _u32(0))],
+                axis=0)
+            acc = None
+            for sh in (0, 8, 16, 24):
+                q8 = ((((stacked >> _u32(sh)) & _u32(0xFF)).astype(jnp.int32)
+                       - 128)).astype(jnp.int8)
+                s = jax.lax.dot_general(
+                    M8, q8, dn, preferred_element_type=jnp.int32)
+                acc = s if acc is None else acc + (s << sh)
+            outs.append(acc.astype(jnp.uint32) + bias)
+        return tuple(outs)
     # bool -> i32 -> f32 -> bf16, the chain Mosaic accepts (cf.
     # heads_via_matmul; a direct i1 vector cast is rejected)
     M = jnp.concatenate(
         [(p_col == o_i).astype(jnp.int32),
          (p_col + 1 == o_i).astype(jnp.int32)], axis=0)
     Mb = M.astype(jnp.float32).astype(jnp.bfloat16)
-    dn = (((0,), (0,)), ((), ()))
     outs = []
     for v in parts:
         stacked = jnp.concatenate(
@@ -997,17 +1106,33 @@ def _merge_rows_sum_mxu(parts, prow, rot):
     return tuple(outs)
 
 
-def _select_window_rows(P_f32, w):
-    """Data-dependent row selection as an MXU one-hot matmul: P_f32 is a
-    (G, R_out, W) one-hot over source rows, w a (G, W, 128) uint32 window.
-    u8 quarters at DEFAULT precision: the MXU's bf16 input rounding is
-    exact for 0/1 one-hots and byte values <= 255, each output slot
-    receives exactly one nonzero product, and f32 accumulation keeps it
-    exact — 4 single-pass bf16 matmuls beat 2 u16-half matmuls at
-    Precision.HIGHEST (which multi-passes the MXU)."""
+def _select_window_rows(P_onehot, w):
+    """Data-dependent row selection as an MXU one-hot matmul: P_onehot is
+    a (G, R_out, W) bool/0-1 one-hot over source rows, w a (G, W, 128)
+    uint32 window.  u8 quarters at DEFAULT precision: the MXU's bf16
+    input rounding is exact for 0/1 one-hots and byte values <= 255, each
+    output slot receives exactly one nonzero product, and f32
+    accumulation keeps it exact — 4 single-pass bf16 matmuls beat 2
+    u16-half matmuls at Precision.HIGHEST (which multi-passes the MXU).
+
+    Under I8_MM the quarters run as s8 x s8 -> s32 contractions instead
+    (2x MXU rate on v5e, no f32/bf16 cast chain): bytes are bias-shifted
+    by -128 into s8 range, and because every output row selects EXACTLY
+    one source word (callers clamp the one-hot index into the window),
+    the bias folds across quarters into one +0x80808080 constant."""
     dn = (((2,), (1,)), ((0,), (0,)))
+    if I8_MM:
+        P8 = P_onehot.astype(jnp.int8)
+        acc = None
+        for sh in (0, 8, 16, 24):
+            q8 = (((w >> _u32(sh)) & _u32(0xFF)).astype(jnp.int32)
+                  - 128).astype(jnp.int8)
+            s = jax.lax.dot_general(
+                P8, q8, dn, preferred_element_type=jnp.int32)
+            acc = s if acc is None else acc + (s << sh)
+        return (acc.astype(jnp.uint32) + _u32(0x80808080))
     # Mosaic has no direct uint32<->float32 casts; route through int32.
-    P = P_f32.astype(jnp.bfloat16)
+    P = P_onehot.astype(jnp.float32).astype(jnp.bfloat16)
     out = None
     for sh in (0, 8, 16, 24):
         q = ((w >> _u32(sh)) & _u32(0xFF)).astype(jnp.int32)
@@ -1090,7 +1215,7 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat", win_rows=WIN_ROWS)
         present = ((spread >> (_u32(31) - cols32)) & _u32(1)).astype(jnp.int32)
 
         # source index of dest (r, l): in-row rank + row offset + heads
-        lane_cs = fv.lane_count_prefix(present)                 # (G, 32, 128)
+        lane_cs = fv.lane_count_prefix(present, i8=I8_MM)       # (G, 32, 128)
         cnt_b = jnp.broadcast_to(lane_cs[:, :, LANES - 1 :], lane_cs.shape)
         off_row = _row_prefix_excl(cnt_b, 32) + LANES           # + heads row
         srow = rot0 + off_row                                   # window word of rank 0
@@ -1099,8 +1224,15 @@ def _decode_kernel_fp32(dims, num_hc, G, nsteps, mode="flat", win_rows=WIN_ROWS)
 
         q = jax.lax.broadcasted_iota(jnp.int32, (G, 32, win_rows), 2)
         p_col = p[:, :, 0:1]
-        P12 = jnp.concatenate(
-            [(q == p_col), (q == p_col + 1)], axis=1).astype(jnp.float32)
+        p_a, p_b = p_col, p_col + 1
+        if I8_MM:
+            # the i8 bias fold needs exactly one selected word per output
+            # row; rows whose span ends before p (present all 0, value
+            # masked downstream) clamp into the window instead of
+            # selecting nothing
+            p_a = jnp.minimum(p_a, win_rows - 1)
+            p_b = jnp.minimum(p_b, win_rows - 1)
+        P12 = jnp.concatenate([(q == p_a), (q == p_b)], axis=1)
         AB = _select_window_rows(P12, w)        # one fused matmul set
         A, B = AB[:, :32, :], AB[:, 32:, :]
 
@@ -1401,7 +1533,7 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
         # butterfly + per-row rotation + one single-plane-per-plane OR-merge
         # over rows, wrap encoded as per-slot shifts), with both u32 planes
         # co-routed on the shared shift plane.
-        lane_cs = fv.lane_count_prefix(valid)
+        lane_cs = fv.lane_count_prefix(valid, i8=I8_MM)
         cnt = jnp.broadcast_to(lane_cs[:, LANES - 1 :], (R, LANES))
         off = (_row_prefix_excl_mxu(cnt, R) if MXU_SCAN
                else _row_prefix_excl(cnt, R))
@@ -1469,18 +1601,20 @@ def _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode="flat"):
     return kernel, R
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None,
+                        min_rows=0):
     """blocks_{lo,hi}: (nb_pad, 4096) uint32 planes.  Returns (body2d,
     hdr2d); body2d is the interleaved u32 stream (u32 index 2w+p of u64
     word w) from u64 word `start_word` (default: the header length)
-    onward."""
+    onward.  ``min_rows`` (u64 rows) as in _encode_blocks_fp32."""
     nb_pad = blocks_lo.shape[0]
     G = G_ENC
     nsteps = nb_pad // G
     R = 1 + G * 33
     hw = fmt.header_words(num_hc, 64) if start_word is None else start_word
     bound_rows = (hw + nb_pad * (64 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
+    bound_rows = max(bound_rows, min_rows)
     kernel, R = _encode_kernel_fp64(dims, num_hc, G, nsteps, hw)
     body, hdr = pl.pallas_call(
         kernel,
@@ -1511,17 +1645,20 @@ def _encode_blocks_fp64(blocks_lo, blocks_hi, dims, num_hc, start_word=None):
     return body, hdr
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _encode_interior_fp64(lo, hi, shape, num_hc, G, start_word=None):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _encode_interior_fp64(lo, hi, shape, num_hc, G, start_word=None,
+                          min_rows=0):
     """Tiled fast-path fp64 encode over the full (lo, hi) plane arrays.
     start_word (u64 units) = 0 emits a body-only span for per-shard
-    encodes; default leaves room for the header."""
+    encodes; default leaves room for the header.  ``min_rows`` (u64 rows)
+    as in _encode_blocks_fp32."""
     dims = len(shape)
     block_shape, imap = _tiled_layout(shape, dims, G)
     nsteps = num_hc // G
     R = 1 + G * 33
     hw = fmt.header_words(num_hc, 64) if start_word is None else start_word
     bound_rows = (hw + num_hc * (64 + fmt.HC_SIZE) + LANES - 1) // LANES + R + 2
+    bound_rows = max(bound_rows, min_rows)
     mode = "tile2d" if dims == 2 else "tile3d"
     kernel, R = _encode_kernel_fp64(dims, num_hc, G, nsteps, hw, mode)
     body, hdr = pl.pallas_call(
@@ -1558,6 +1695,8 @@ def _encode_fp64_device(lo, hi, shape):
     num_hc = fmt.num_hypercubes(shape)
     border_idx = _border_indices(shape)
     bound = fmt.compressed_bound_u32(shape, 64)
+    need = bound + 2 * WIN_ROWS * LANES   # decode-slack size (u32 words)
+    need_rows64 = (need + 2 * LANES - 1) // (2 * LANES)
     hw = fmt.header_words(num_hc, 64)
     header_u32 = 2 * hw
 
@@ -1567,14 +1706,15 @@ def _encode_fp64_device(lo, hi, shape):
             axis=-1).reshape(-1)
 
     if num_hc == 0:
-        out = jnp.zeros(bound, jnp.uint32)
+        out = jnp.zeros(2 * need_rows64 * LANES, jnp.uint32)
         if border_idx.size:
             out = jax.lax.dynamic_update_slice(out, border_vals_u32(), (0,))
         return out, jnp.int32(2 * border_idx.size)
 
     G = _g_tiled(shape, dims, G_ENC)
     if G is not None:
-        body2d, hdr2d = _encode_interior_fp64(lo, hi, shape, num_hc, G)
+        body2d, hdr2d = _encode_interior_fp64(
+            lo, hi, shape, num_hc, G, min_rows=need_rows64)
     else:
         G = G_ENC
         b_lo = _gather_blocks_xla(lo, shape)
@@ -1584,7 +1724,8 @@ def _encode_fp64_device(lo, hi, shape):
             z = jnp.zeros((nb_pad - num_hc, fmt.HC_SIZE), jnp.uint32)
             b_lo = jnp.concatenate([b_lo, z], 0)
             b_hi = jnp.concatenate([b_hi, z], 0)
-        body2d, hdr2d = _encode_blocks_fp64(b_lo, b_hi, dims, num_hc)
+        body2d, hdr2d = _encode_blocks_fp64(
+            b_lo, b_hi, dims, num_hc, min_rows=need_rows64)
 
     header = hdr2d[:, :G].reshape(-1)[:num_hc]
     body_total = jax.lax.bitcast_convert_type(header[num_hc - 1], jnp.int32)
@@ -1598,7 +1739,6 @@ def _encode_fp64_device(lo, hi, shape):
         out = jax.lax.dynamic_update_slice(
             out, border_vals_u32(), (header_u32 + 2 * body_total,))
     length = header_u32 + 2 * body_total + 2 * border_idx.size
-    out = out[:bound]
     return out, length
 
 
@@ -1667,7 +1807,7 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat", win_rows=WIN_ROWS)
         present = ((plane >> (_u32(31) - j32)) & _u32(1)).astype(jnp.int32)
 
         # source u64-word index of dest (r, l): rank + row offset + heads
-        lane_cs = fv.lane_count_prefix(present)                 # (G, 32, 128)
+        lane_cs = fv.lane_count_prefix(present, i8=I8_MM)       # (G, 32, 128)
         cnt_b = jnp.broadcast_to(lane_cs[:, :, LANES - 1 :], lane_cs.shape)
         off_row = _row_prefix_excl(cnt_b, 32) + 64              # 64 head words
         srow = rot0 + off_row
@@ -1676,8 +1816,13 @@ def _decode_kernel_fp64(dims, num_hc, G, nsteps, mode="flat", win_rows=WIN_ROWS)
 
         q = jax.lax.broadcasted_iota(jnp.int32, (G, 32, win_rows), 2)
         p_col = p[:, :, 0:1]
-        P12 = jnp.concatenate(
-            [(q == p_col), (q == p_col + 1)], axis=1).astype(jnp.float32)
+        p_a, p_b = p_col, p_col + 1
+        if I8_MM:
+            # see the fp32 kernel: clamp so every row selects exactly one
+            # word (i8 bias-fold requirement); clamped rows are masked
+            p_a = jnp.minimum(p_a, win_rows - 1)
+            p_b = jnp.minimum(p_b, win_rows - 1)
+        P12 = jnp.concatenate([(q == p_a), (q == p_b)], axis=1)
         AB_lo = _select_window_rows(P12, win_lo)
         AB_hi = _select_window_rows(P12, win_hi)
         A_lo, B_lo = AB_lo[:, :32, :], AB_lo[:, 32:, :]
@@ -1814,6 +1959,20 @@ def _decode_fp64_device(stream, shape, win=WIN_ROWS):
                     [starts,
                      jnp.broadcast_to(starts[num_hc - 1], (nb_pad - num_hc,))])
             b_lo, b_hi = _decode_blocks_fp64(stream2d, starts, dims, num_hc, win)
+            if dims == 1:
+                # 1D zero-copy assembly (see _decode_fp32_device): plane
+                # outputs reshape straight to the interior; the border tail
+                # (stream-interleaved (lo, hi) pairs) joins in the concat.
+                int_lo = b_lo[:num_hc].reshape(num_hc * fmt.HC_SIZE)
+                int_hi = b_hi[:num_hc].reshape(num_hc * fmt.HC_SIZE)
+                if border_idx.size:
+                    bvals = jax.lax.dynamic_slice(
+                        stream, (header_u32 + 2 * body_total,),
+                        (2 * border_idx.size,))
+                    pairs_b = bvals.reshape(-1, 2)
+                    return (jnp.concatenate([int_lo, pairs_b[:, 0]]).reshape(shape),
+                            jnp.concatenate([int_hi, pairs_b[:, 1]]).reshape(shape))
+                return int_lo.reshape(shape), int_hi.reshape(shape)
             flat_lo = _scatter_blocks_xla(b_lo[:num_hc], shape, flat_lo)
             flat_hi = _scatter_blocks_xla(b_hi[:num_hc], shape, flat_hi)
             arr_lo, arr_hi = flat_lo.reshape(shape), flat_hi.reshape(shape)
@@ -1963,14 +2122,19 @@ def _border_place(arr, bv, shape):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _encode_fp32_device(words, shape):
-    """Full device encode: words (shape) u32 -> (stream_padded_u32, length)."""
+    """Full device encode: words (shape) u32 -> (stream_padded_u32, length).
+    The stream buffer is emitted at decode-slack size (bound + one decode
+    window; see _with_decode_slack) straight from the kernel, so neither a
+    bound-slice nor compress_device's pad ever copies the stream again."""
     dims = len(shape)
     num_hc = fmt.num_hypercubes(shape)
     border_idx = _border_indices(shape)
     bound = fmt.compressed_bound_u32(shape, 32)
+    need = bound + WIN_ROWS * LANES
+    need_rows = (need + LANES - 1) // LANES
 
     if num_hc == 0:
-        out = jnp.zeros(bound, jnp.uint32)
+        out = jnp.zeros(need_rows * LANES, jnp.uint32)
         if border_idx.size:
             out = jax.lax.dynamic_update_slice(
                 out, _border_take(words, shape), (0,))
@@ -1978,7 +2142,8 @@ def _encode_fp32_device(words, shape):
 
     G = _g_tiled(shape, dims, G_ENC)
     if G is not None:
-        body2d, hdr2d = _encode_interior_fp32(words, shape, num_hc, G)
+        body2d, hdr2d = _encode_interior_fp32(
+            words, shape, num_hc, G, min_rows=need_rows)
     else:
         G = G_ENC
         blocks = _gather_blocks_xla(words, shape)
@@ -1986,7 +2151,8 @@ def _encode_fp32_device(words, shape):
         if nb_pad != num_hc:
             blocks = jnp.concatenate(
                 [blocks, jnp.zeros((nb_pad - num_hc, fmt.HC_SIZE), jnp.uint32)], 0)
-        body2d, hdr2d = _encode_blocks_fp32(blocks, dims, num_hc)
+        body2d, hdr2d = _encode_blocks_fp32(
+            blocks, dims, num_hc, min_rows=need_rows)
 
     header = hdr2d[:, :G].reshape(-1)[:num_hc]
     body_total = jax.lax.bitcast_convert_type(header[num_hc - 1], jnp.int32)
@@ -1997,7 +2163,6 @@ def _encode_fp32_device(words, shape):
         border_vals = _border_take(words, shape)
         out = jax.lax.dynamic_update_slice(out, border_vals, (num_hc + body_total,))
     length = num_hc + body_total + border_idx.size
-    out = out[:bound]
     return out, length
 
 
@@ -2036,6 +2201,19 @@ def _decode_fp32_device(stream, shape, win=WIN_ROWS):
                     [starts,
                      jnp.broadcast_to(starts[num_hc - 1], (nb_pad - num_hc,))])
             blocks = _decode_blocks_fp32(stream2d, starts, dims, num_hc, win)
+            if dims == 1:
+                # 1D zero-copy assembly: the flat block layout IS row-major
+                # output order, so the kernel's output reshapes straight to
+                # the interior — no _scatter_blocks_xla pass (a full
+                # read+write of the array, ~15% of 64 MiB decode).  The
+                # border (if any) is the contiguous tail, appended from the
+                # stream in the same concat.
+                interior = blocks[:num_hc].reshape(num_hc * fmt.HC_SIZE)
+                if border_idx.size:
+                    border_vals = jax.lax.dynamic_slice(
+                        stream, (num_hc + body_total,), (border_idx.size,))
+                    return jnp.concatenate([interior, border_vals]).reshape(shape)
+                return interior.reshape(shape)
             flat = _scatter_blocks_xla(blocks[:num_hc], shape, flat)
             arr = flat.reshape(shape)
     else:

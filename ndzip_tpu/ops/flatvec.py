@@ -100,18 +100,28 @@ def lane_cumsum(x):
     return x
 
 
-def lane_count_prefix(x01):
+def lane_count_prefix(x01, i8=False):
     """Inclusive in-row prefix count of a 0/1 integer array via ONE
     default-precision bf16 MXU matmul (exact: 0/1 inputs are exact in
     bf16, and counts <= 128 accumulate exactly in the f32 accumulator),
-    replacing the 7 log-rounds of lane_cumsum."""
+    replacing the 7 log-rounds of lane_cumsum.
+
+    ``i8=True`` runs the same contraction as s8 x s8 -> s32 (exact
+    outright: 0/1 operands, counts <= 128): 2x the MXU rate on v5e and
+    none of the int->f32->bf16 operand cast passes (see codec_pallas
+    I8_MM)."""
     m_r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     m_c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    dn = (((x01.ndim - 1,), (0,)), ((), ()))
+    if i8:
+        M8 = (m_r <= m_c).astype(jnp.int8)
+        lane = jax.lax.dot_general(
+            x01.astype(jnp.int8), M8, dn, preferred_element_type=jnp.int32)
+        return lane.astype(x01.dtype)
     M = (m_r <= m_c).astype(jnp.float32).astype(jnp.bfloat16)
     xb = x01.astype(jnp.float32).astype(jnp.bfloat16)
     lane = jax.lax.dot_general(
-        xb, M, (((x01.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        xb, M, dn, preferred_element_type=jnp.float32)
     return lane.astype(x01.dtype)
 
 

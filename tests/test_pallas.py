@@ -188,3 +188,25 @@ def test_decode_at_exact_minimal_window(seed):
     if win > 2:  # one row fewer must be rejected by the host validator
         with pytest.raises(ValueError, match="cannot cover"):
             codec_pallas.decompress(g, shape, np.float32, win=win - 1)
+
+
+@pytest.mark.parametrize("i8", [False, True])
+@pytest.mark.parametrize("dt", [np.float32, np.float64])
+def test_pallas_i8_matmul_paths(monkeypatch, i8, dt):
+    """Both MXU arithmetic variants of the byte-quartered matmuls (bf16
+    u8-quarters vs bias-folded s8 contractions, NDZIP_TPU_I8_MM) are
+    bit-exact: decode row select, lane count prefix, and the lane-segment
+    cumsums of the inverse transform all switch together.  Shapes are
+    unique per (i8, dt) so each combination traces fresh kernels."""
+    monkeypatch.setattr(codec_pallas, "I8_MM", i8)
+    base = 4096 * 2 + (21 if dt == np.float32 else 57) + (4 if i8 else 0)
+    shape = (base,)
+    smooth = np.sin(np.arange(shape[0]) * 1e-3)
+    data = (smooth + 1e-3 * RNG.standard_normal(shape)).astype(dt)
+    data[:100] = 0
+    g, gl = golden.compress(data)
+    s, l = codec_pallas.compress(data)
+    assert l == gl and s.tobytes() == g.tobytes()
+    out = codec_pallas.decompress(g, shape, dt)
+    wdt = np.uint64 if dt == np.float64 else np.uint32
+    assert np.array_equal(out.view(wdt), data.view(wdt))
