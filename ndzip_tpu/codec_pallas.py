@@ -446,6 +446,15 @@ def _seg_pos_plus1_u32(shape, ndim, seg):
     return ((lane % seg) + 1).astype(jnp.uint32)
 
 
+def _bias_byte_i8(x, sh):
+    """Byte `sh` of integer words x, bias-128 shifted into s8, in two
+    vector ops: a truncating cast keeps the low 8 bits and flipping the
+    sign bit IS subtract-128 in 8-bit two's complement
+    ((b ^ 0x80) as s8 == b - 128 for b in [0, 255])."""
+    b = x if sh == 0 else x >> jnp.asarray(sh, x.dtype)
+    return b.astype(jnp.int8) ^ jnp.int8(-128)
+
+
 def _lane_segment_cumsum_u32(x, seg):
     """Wrapping uint32 inclusive cumsum within `seg`-lane segments (seg <=
     128, stride 1) via four u8-quarter matmuls: u8 inputs are exact in
@@ -468,7 +477,7 @@ def _lane_segment_cumsum_u32(x, seg):
         M8 = ((m_r <= m_c) & ((m_r // seg) == (m_c // seg))).astype(jnp.int8)
         acc = None
         for k in range(4):
-            q8 = (((xi >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
+            q8 = _bias_byte_i8(xi, 8 * k)
             cs = jax.lax.dot_general(
                 q8, M8, dn, preferred_element_type=jnp.int32)
             term = cs << (8 * k)
@@ -545,8 +554,8 @@ def _lane_segment_cumsum_pair(lo, hi, seg):
         def _quarter_prefix_i8(x):
             xi = x.astype(jnp.int32)
             return [jax.lax.dot_general(
-                        (((xi >> (8 * k)) & 0xFF) - 128).astype(jnp.int8),
-                        M8, dn, preferred_element_type=jnp.int32) + corr
+                        _bias_byte_i8(xi, 8 * k), M8, dn,
+                        preferred_element_type=jnp.int32) + corr
                     for k in range(4)]
 
         c0, c1, c2, c3 = _quarter_prefix_i8(lo)
@@ -1024,7 +1033,7 @@ def _row_prefix_excl_mxu(cnt, R):
     dn = (((0,), (0,)), ((), ()))
     if I8_MM:
         T8 = (r_i < o_i).astype(jnp.int8)
-        c8 = (cnt - 128).astype(jnp.int8)
+        c8 = _bias_byte_i8(cnt, 0)
         out = jax.lax.dot_general(
             T8, c8, dn, preferred_element_type=jnp.int32)
         rows = jax.lax.broadcasted_iota(jnp.int32, cnt.shape, cnt.ndim - 2)
@@ -1075,8 +1084,7 @@ def _merge_rows_sum_mxu(parts, prow, rot):
                 axis=0)
             acc = None
             for sh in (0, 8, 16, 24):
-                q8 = ((((stacked >> _u32(sh)) & _u32(0xFF)).astype(jnp.int32)
-                       - 128)).astype(jnp.int8)
+                q8 = _bias_byte_i8(stacked, sh)
                 s = jax.lax.dot_general(
                     M8, q8, dn, preferred_element_type=jnp.int32)
                 acc = s if acc is None else acc + (s << sh)
@@ -1125,8 +1133,7 @@ def _select_window_rows(P_onehot, w):
         P8 = P_onehot.astype(jnp.int8)
         acc = None
         for sh in (0, 8, 16, 24):
-            q8 = (((w >> _u32(sh)) & _u32(0xFF)).astype(jnp.int32)
-                  - 128).astype(jnp.int8)
+            q8 = _bias_byte_i8(w, sh)
             s = jax.lax.dot_general(
                 P8, q8, dn, preferred_element_type=jnp.int32)
             acc = s if acc is None else acc + (s << sh)

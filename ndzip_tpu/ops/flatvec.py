@@ -58,12 +58,13 @@ def shift_flat_left(x, k, fill=None):
         y = _roll(x, R - r, len(x.shape) - 2)
         return jnp.where(rows < R - r, y, fill)
     assert k < LANES
+    # lane roll, then the wrapped lanes take the NEXT row's value via one
+    # row roll of the already-lane-rolled array (rolls commute across
+    # axes).  No separate last-row masking: the wrapped slots of the last
+    # row all have flat >= R*LANES - k, which the final mask fills.
     a = _roll(x, LANES - k, len(x.shape) - 1)
-    up = _roll(x, R - 1, len(x.shape) - 2)
-    up = jnp.where(rows < R - 1, up, fill)
-    b = _roll(up, LANES - k, len(x.shape) - 1)
+    b = _roll(a, R - 1, len(x.shape) - 2)
     y = jnp.where(cols < LANES - k, a, b)
-    # final lane positions beyond the very end
     flat = rows * LANES + cols
     return jnp.where(flat < R * LANES - k, y, fill)
 
@@ -81,10 +82,10 @@ def shift_flat_right(x, k, fill=None):
         y = _roll(x, r, len(x.shape) - 2)
         return jnp.where(rows >= r, y, fill)
     assert k < LANES
+    # see shift_flat_left: b = roll(a, 1, rows) reuses the lane roll, and
+    # row 0's wrapped slots (flat < k) are filled by the final mask.
     a = _roll(x, k, len(x.shape) - 1)
-    down = _roll(x, 1, len(x.shape) - 2)
-    down = jnp.where(rows >= 1, down, fill)
-    b = _roll(down, k, len(x.shape) - 1)
+    b = _roll(a, 1, len(x.shape) - 2)
     y = jnp.where(cols >= k, a, b)
     flat = rows * LANES + cols
     return jnp.where(flat >= k, y, fill)
