@@ -45,5 +45,25 @@ step fp64_g24 5400 env NDZIP_TPU_G_DEC64=24 NDZIP_TPU_WIN_ROWS=adaptive \
 step r5e_dec 3600 env NDZIP_TPU_G_DEC=32 NDZIP_TPU_WIN_ROWS=adaptive \
     python dev/shape_probe.py --shape 16777216 --dtype float
 
+# 4. Decode G=40 confirmation (72.7 GB/s in the first sweep) + G=48.
+step dec_g40_b 3600 env NDZIP_TPU_G_DEC=40 NDZIP_TPU_WIN_ROWS=adaptive \
+    python dev/shape_probe.py --shape 16777216 --dtype float
+step dec_g48 5400 env NDZIP_TPU_G_DEC=48 NDZIP_TPU_WIN_ROWS=adaptive \
+    python dev/shape_probe.py --shape 16777216 --dtype float
+
+# 5. MXU merge retry with the i1->i32->i8 cast fix.
+step verify_mxu_merge 2400 env NDZIP_TPU_MXU_MERGE=1 python -c "
+import numpy as np
+from ndzip_tpu import codec_pallas, golden
+rng = np.random.default_rng(5)
+for shape, dt in [((4096*8+100,), np.float32), ((128,70), np.float64)]:
+    data = rng.standard_normal(shape).astype(dt); data.reshape(-1)[:200]=0
+    g, gl = golden.compress(data)
+    s, l = codec_pallas.compress(data)
+    assert l == gl and s.tobytes() == g.tobytes(), f'enc {shape}'
+    print(shape, 'OK')"
+step enc_mxu_merge_b 3600 env NDZIP_TPU_MXU_MERGE=1 \
+    python dev/shape_probe.py --shape 16777216 --dtype float
+
 echo "=== done ($(date -u +%H:%M:%S)) ==="
 cat "$LOG/summary.txt"

@@ -110,13 +110,15 @@ PADDED_TILES = os.environ.get("NDZIP_TPU_PADDED_TILES", "1") != "0"
 # gathers on v5e (dev/hw_logs_r4/tile_xpose.log: 3D 0.39 vs 0.56 ms,
 # 2D store 0.32 vs 0.41 ms per 256 MiB).  =0 restores the gathers.
 TILE_BFLY = os.environ.get("NDZIP_TPU_TILE_BFLY", "1") != "0"
-# Encode assembly on the MXU (r4 experiment, measured on v5e and NOT
-# adopted): the row-offset scan as one triangular bf16 matmul
-# (_row_prefix_excl_mxu) was a wash (32.9 vs 33.3 GB/s) and the step
-# merge as one-hot matmul sums (_merge_rows_sum_mxu) lost outright
-# (27.6 GB/s — the 4 u8-quarter (2R,R)x(2R,128) contractions plus
-# extract/recombine exceed the gated OR-merge butterfly).  Both stay
-# behind env vars for re-evaluation on other TPU generations.
+# Encode assembly on the MXU (r4 experiment, re-run at s8 in r5; NOT
+# adopted either way): the row-offset scan as one triangular matmul
+# (_row_prefix_excl_mxu) was a wash in bf16 (32.9 vs 33.3 GB/s) and a
+# slight loss at s8 (30.9, dev/hw_logs_r5/enc_mxu_scan.log); the step
+# merge as one-hot matmul sums (_merge_rows_sum_mxu) lost outright in
+# both arithmetics (27.6 bf16, 26.9 s8 — the (2R,R)x(2R,128) quarter
+# contractions exceed the gated OR-merge butterfly even with the i8
+# cast chains removed).  Both stay behind env vars for re-evaluation on
+# other TPU generations.
 MXU_SCAN = os.environ.get("NDZIP_TPU_MXU_SCAN", "0") == "1"
 MXU_MERGE = os.environ.get("NDZIP_TPU_MXU_MERGE", "0") == "1"
 # int8 MXU path for the byte-quartered matmuls (decode row select, lane
@@ -1032,7 +1034,11 @@ def _row_prefix_excl_mxu(cnt, R):
     o_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     dn = (((0,), (0,)), ((), ()))
     if I8_MM:
-        T8 = (r_i < o_i).astype(jnp.int8)
+        # i1 -> i32 -> i8: a direct bool vector cast hits Mosaic's
+        # "Invalid vector register cast" on the real backend
+        # (dev/hw_logs_r5/verify_mxu_i8.log), same class as the encode
+        # kernels' bool-select restriction
+        T8 = (r_i < o_i).astype(jnp.int32).astype(jnp.int8)
         c8 = _bias_byte_i8(cnt, 0)
         out = jax.lax.dot_general(
             T8, c8, dn, preferred_element_type=jnp.int32)
@@ -1071,8 +1077,11 @@ def _merge_rows_sum_mxu(parts, prow, rot):
         # with one extra all-ones matmul shared by every quarter/plane.
         # Across the <<8k recombination the count bias folds to
         # count * 0x80808080 (mod 2^32).
+        # i1 -> i32 -> i8 as in _row_prefix_excl_mxu (Mosaic rejects the
+        # direct bool vector cast on the real backend)
         M8 = jnp.concatenate(
-            [(p_col == o_i), (p_col + 1 == o_i)], axis=0).astype(jnp.int8)
+            [(p_col == o_i).astype(jnp.int32),
+             (p_col + 1 == o_i).astype(jnp.int32)], axis=0).astype(jnp.int8)
         ones8 = jnp.ones((2 * R, LANES), jnp.int8)
         count = jax.lax.dot_general(
             M8, ones8, dn, preferred_element_type=jnp.int32)
