@@ -177,7 +177,8 @@ def compress_multihost(local_slab: np.ndarray, mesh=None) -> ShardStream:
         shard_fn, mesh=mesh,
         in_specs=(tuple(P(axis) for _ in global_in),),
         out_specs=(P(axis), P(axis)),
-        check_vma=False)  # pallas_call outputs carry no vma annotation
+        check_vma=not sharded._use_pallas())  # pallas outputs carry no vma
+        # annotation; the XLA engine keeps the checker ON
     entries_g, bodies_g = jax.jit(mapped)(global_in)
 
     # local (addressable) results, in global shard order

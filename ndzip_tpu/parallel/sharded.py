@@ -296,7 +296,8 @@ def compress_sharded(data, mesh: Mesh):
         shard_fn, mesh=mesh,
         in_specs=(tuple(P(axis) for _ in host_words),),
         out_specs=(P(axis), P(axis)),
-        check_vma=False)  # pallas_call outputs carry no vma annotation
+        check_vma=not _use_pallas())  # pallas outputs carry no vma annotation;
+        # the XLA engine (CPU meshes, tests, dryruns) keeps the checker ON
 
     sharded_in = tuple(
         jax.device_put(w, NamedSharding(mesh, P(axis))) for w in host_words)
@@ -438,7 +439,8 @@ def _build_compress_device(shape, wb, mesh, nwords):
         _encode_shard_fn(local_shape, dims, wb), mesh=mesh,
         in_specs=(tuple(P(axis) for _ in range(nwords)),),
         out_specs=(P(axis), P(axis)),
-        check_vma=False)  # pallas_call outputs carry no vma annotation
+        check_vma=not _use_pallas())  # pallas outputs carry no vma annotation;
+        # the XLA engine (CPU meshes, tests, dryruns) keeps the checker ON
     sh = NamedSharding(mesh, P(axis))
 
     @jax.jit
@@ -581,7 +583,8 @@ def _build_compress_device_ring(shape, wb, mesh, nwords):
         shard_fn, mesh=mesh,
         in_specs=(tuple(P(axis) for _ in range(nwords)), P()),
         out_specs=(P(axis), P(axis)),
-        check_vma=False)  # pallas_call outputs carry no vma annotation
+        check_vma=not _use_pallas())  # pallas outputs carry no vma annotation;
+        # the XLA engine (CPU meshes, tests, dryruns) keeps the checker ON
     sh = NamedSharding(mesh, P(axis))
     border_idx = codec_pallas._border_indices(shape)
 
@@ -701,7 +704,8 @@ def _decode_setup(shape, dtype, mesh, kwin):
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(axis),
-        check_vma=False)  # pallas_call outputs carry no vma annotation
+        check_vma=not _use_pallas())  # pallas outputs carry no vma annotation;
+        # the XLA engine (CPU meshes, tests, dryruns) keeps the checker ON
 
     ctx = SimpleNamespace(
         shard_body=shard_fn,
@@ -1023,7 +1027,9 @@ def _build_decompress_device_ring(shape, dtype, mesh, ctx, stream_len):
         starts = jnp.where(jnp.arange(per_shard) < rk, sr, fill)
 
         my_start = header_u32 + base * word_u32
-        sub = jnp.zeros(bound_local, jnp.uint32)
+        # device-varying from the start: the ring cond's pass-through
+        # branch must type-match the copy branch under check_vma
+        sub = jax.lax.pvary(jnp.zeros(bound_local, jnp.uint32), axis)
 
         def step(s, carry):
             sub, sj = carry
@@ -1049,7 +1055,8 @@ def _build_decompress_device_ring(shape, dtype, mesh, ctx, stream_len):
     out_specs = (P(axis), P()) if bcnt else P(axis)
     mapped = shard_map(
         shard_fn, mesh=mesh, in_specs=(P(axis),), out_specs=out_specs,
-        check_vma=False)  # pallas_call outputs carry no vma annotation
+        check_vma=not _use_pallas())  # pallas outputs carry no vma annotation;
+        # the XLA engine (CPU meshes, tests, dryruns) keeps the checker ON
     sh = NamedSharding(mesh, P(axis))
     assemble = _build_assemble(shape, dtype, mesh, ctx)
 
