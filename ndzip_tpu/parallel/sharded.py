@@ -1029,7 +1029,8 @@ def _build_decompress_device_ring(shape, dtype, mesh, ctx, stream_len):
         my_start = header_u32 + base * word_u32
         # device-varying from the start: the ring cond's pass-through
         # branch must type-match the copy branch under check_vma
-        sub = jax.lax.pvary(jnp.zeros(bound_local, jnp.uint32), axis)
+        sub = jax.lax.pcast(
+            jnp.zeros(bound_local, jnp.uint32), axis, to="varying")
 
         def step(s, carry):
             sub, sj = carry
