@@ -133,6 +133,19 @@ MXU_MERGE = os.environ.get("NDZIP_TPU_MXU_MERGE", "0") == "1"
 # =0 restores the bf16 u8-quarter matmuls (kill-switch, HW_PLAYBOOK).
 I8_MM = os.environ.get("NDZIP_TPU_I8_MM", "1") != "0"
 
+# Fuse each byte-quartered matmul's four quarter contractions into ONE
+# MXU issue (quarter operands stacked along lanes for the row select,
+# along sublanes for the prefix cumsums), amortizing the shared
+# operand's MXU load and 3 of 4 pipeline fills.  Measured on silicon
+# (dev/hw_logs_r5/fused_mm_fp32_1d.log vs resume_baseline_fp32_1d.log):
+# fp32 1D decode 67.50 vs 67.18 GB/s — inside the same-window run noise
+# (the encode numbers, which this toggle cannot affect, moved +2% in the
+# same pair).  The quarter matmuls are NOT issue-bound after all: the
+# VPU concat/slice prep the fusion adds cancels the issue savings, and
+# the fused kernels compile ~10x slower under Mosaic.  DEFAULT OFF;
+# bit-exact both ways (verify_fused_mm.log, all 5 shapes).
+FUSED_MM = os.environ.get("NDZIP_TPU_FUSED_MM", "0") != "0"
+
 # strided-axis parameters of the block transform on the flat 4096-word
 # layout, in forward axis order (format.FORWARD_AXIS_ORDER):
 #   1D: one axis, stride 1, segment 4096
@@ -180,7 +193,9 @@ def transpose_bits_lane32(a):
         is_upper = (cols & j) == 0
         t = (a ^ (partner >> _u32(j))) & _u32(m)
         t_back = pltpu.roll(t, shift=j, axis=a.ndim - 1)           # t[l - j]
-        a = jnp.where(is_upper, a ^ t, a ^ (t_back << _u32(j)))
+        # one xor after the select (vs xor-per-branch): both branches
+        # apply `a ^ <delta>`, so select the delta, not the result
+        a = a ^ jnp.where(is_upper, t, t_back << _u32(j))
     return a
 
 
@@ -473,10 +488,23 @@ def _lane_segment_cumsum_u32(x, seg):
     M = _lane_tri_mask(seg) if not I8_MM else None
     dn = (((x.ndim - 1,), (0,)), ((), ()))
     xi = x.astype(jnp.int32)
+    R = x.shape[-2]
     if I8_MM:
         m_r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
         m_c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
         M8 = ((m_r <= m_c) & ((m_r // seg) == (m_c // seg))).astype(jnp.int8)
+        if FUSED_MM:
+            # quarters stacked along sublanes: one (M=4R, K=128) matmul
+            # fills the systolic rows a lone M=R quarter leaves idle
+            q4 = jnp.concatenate(
+                [_bias_byte_i8(xi, 8 * k) for k in range(4)], axis=-2)
+            cs = jax.lax.dot_general(
+                q4, M8, dn, preferred_element_type=jnp.int32)
+            acc = (cs[..., 0:R, :] + (cs[..., R:2 * R, :] << 8)
+                   + (cs[..., 2 * R:3 * R, :] << 16)
+                   + (cs[..., 3 * R:, :] << 24))
+            corr = _seg_pos_plus1_u32(x.shape, x.ndim, seg) * _u32(0x80808080)
+            return acc.astype(jnp.uint32) + corr
         acc = None
         for k in range(4):
             q8 = _bias_byte_i8(xi, 8 * k)
@@ -486,6 +514,15 @@ def _lane_segment_cumsum_u32(x, seg):
             acc = term if acc is None else acc + term
         corr = _seg_pos_plus1_u32(x.shape, x.ndim, seg) * _u32(0x80808080)
         return acc.astype(jnp.uint32) + corr
+    if FUSED_MM:
+        q4 = jnp.concatenate(
+            [((xi >> (8 * k)) & 0xFF) for k in range(4)],
+            axis=-2).astype(jnp.float32).astype(jnp.bfloat16)
+        cs = jax.lax.dot_general(
+            q4, M, dn, preferred_element_type=jnp.float32).astype(jnp.int32)
+        acc = (cs[..., 0:R, :] + (cs[..., R:2 * R, :] << 8)
+               + (cs[..., 2 * R:3 * R, :] << 16) + (cs[..., 3 * R:, :] << 24))
+        return acc.astype(jnp.uint32)
     acc = None
     for k in range(4):
         q = ((xi >> (8 * k)) & 0xFF).astype(jnp.float32).astype(jnp.bfloat16)
@@ -553,15 +590,27 @@ def _lane_segment_cumsum_pair(lo, hi, seg):
         corr = (_seg_pos_plus1_u32(lo.shape, lo.ndim, seg)
                 .astype(jnp.int32) << 7)
 
-        def _quarter_prefix_i8(x):
-            xi = x.astype(jnp.int32)
-            return [jax.lax.dot_general(
-                        _bias_byte_i8(xi, 8 * k), M8, dn,
-                        preferred_element_type=jnp.int32) + corr
-                    for k in range(4)]
+        if FUSED_MM:
+            # all 8 quarters (lo+hi) in ONE (M=8R, K=128) matmul
+            R = lo.shape[-2]
+            q8 = jnp.concatenate(
+                [_bias_byte_i8(lo.astype(jnp.int32), 8 * k) for k in range(4)]
+                + [_bias_byte_i8(hi.astype(jnp.int32), 8 * k) for k in range(4)],
+                axis=-2)
+            cs = jax.lax.dot_general(
+                q8, M8, dn, preferred_element_type=jnp.int32)
+            c0, c1, c2, c3, h0, h1, h2, h3 = (
+                cs[..., k * R:(k + 1) * R, :] + corr for k in range(8))
+        else:
+            def _quarter_prefix_i8(x):
+                xi = x.astype(jnp.int32)
+                return [jax.lax.dot_general(
+                            _bias_byte_i8(xi, 8 * k), M8, dn,
+                            preferred_element_type=jnp.int32) + corr
+                        for k in range(4)]
 
-        c0, c1, c2, c3 = _quarter_prefix_i8(lo)
-        h0, h1, h2, h3 = _quarter_prefix_i8(hi)
+            c0, c1, c2, c3 = _quarter_prefix_i8(lo)
+            h0, h1, h2, h3 = _quarter_prefix_i8(hi)
         A = c0 + (c1 << 8)        # <= 2^23, exact in int32
         B = c2 + (c3 << 8)        # <= 2^23, exact in int32
         lo_cs = (A + (B << 16)).astype(jnp.uint32)
@@ -1136,10 +1185,26 @@ def _select_window_rows(P_onehot, w):
     (2x MXU rate on v5e, no f32/bf16 cast chain): bytes are bias-shifted
     by -128 into s8 range, and because every output row selects EXACTLY
     one source word (callers clamp the one-hot index into the window),
-    the bias folds across quarters into one +0x80808080 constant."""
+    the bias folds across quarters into one +0x80808080 constant.
+
+    Under FUSED_MM the four quarter contractions stack along the lane
+    axis into ONE (K=W, N=512) matmul: the one-hot operand P loads into
+    the MXU once instead of four times, and three matmul issues (each a
+    full pipeline fill for a K<=34 contraction that uses <2% of the
+    array) disappear.  Exactness is unchanged — the fused product is the
+    same four quarter sums, just computed side by side."""
     dn = (((2,), (1,)), ((0,), (0,)))
+    L = w.shape[-1]
     if I8_MM:
         P8 = P_onehot.astype(jnp.int8)
+        if FUSED_MM:
+            w4 = jnp.concatenate(
+                [_bias_byte_i8(w, sh) for sh in (0, 8, 16, 24)], axis=-1)
+            s = jax.lax.dot_general(
+                P8, w4, dn, preferred_element_type=jnp.int32)
+            acc = (s[..., 0:L] + (s[..., L:2 * L] << 8)
+                   + (s[..., 2 * L:3 * L] << 16) + (s[..., 3 * L:] << 24))
+            return acc.astype(jnp.uint32) + _u32(0x80808080)
         acc = None
         for sh in (0, 8, 16, 24):
             q8 = _bias_byte_i8(w, sh)
@@ -1149,6 +1214,16 @@ def _select_window_rows(P_onehot, w):
         return (acc.astype(jnp.uint32) + _u32(0x80808080))
     # Mosaic has no direct uint32<->float32 casts; route through int32.
     P = P_onehot.astype(jnp.float32).astype(jnp.bfloat16)
+    if FUSED_MM:
+        w4 = jnp.concatenate(
+            [((w >> _u32(sh)) & _u32(0xFF)).astype(jnp.int32)
+             for sh in (0, 8, 16, 24)], axis=-1)
+        wb = w4.astype(jnp.float32).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            P, wb, dn, preferred_element_type=jnp.float32).astype(jnp.int32)
+        out = (s[..., 0:L] | (s[..., L:2 * L] << 8)
+               | (s[..., 2 * L:3 * L] << 16) | (s[..., 3 * L:] << 24))
+        return out.astype(jnp.uint32)
     out = None
     for sh in (0, 8, 16, 24):
         q = ((w >> _u32(sh)) & _u32(0xFF)).astype(jnp.int32)
